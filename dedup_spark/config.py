@@ -1,0 +1,93 @@
+"""Frozen pipeline configuration.
+
+Analogue of the reference's ``ArgMap`` (/root/reference/src/utilities.h:16-22):
+the whole "query" of the reference engine is its config record. Ours is a
+frozen dataclass broadcast by value into every closure/UDF so retried or
+speculated tasks can never observe a different configuration (determinism
+invariant, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+# Mersenne prime 2^61 - 1: modulus for the universal-hash MinHash permutation
+# family. Fits in int64 with headroom for (a*x + b) accumulation in uint64.
+MERSENNE_61 = (1 << 61) - 1
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs in one place; never duplicate a constant outside this class.
+
+    Defaults follow BASELINE.json's north_star: k=5 word shingles, 128 MinHash
+    permutations, LSH banding at 16 bands x 8 rows (S-curve threshold ~0.7),
+    SimHash-64.
+    """
+
+    # --- shingling (N2) ---
+    shingle_k: int = 5
+
+    # --- MinHash (N3) ---
+    num_perm: int = 128
+    minhash_seed: int = 42
+
+    # --- LSH banding (N4): bands * rows_per_band must equal num_perm.
+    # theta ~ (1/b)^(1/r): b=16, r=8 -> ~0.71
+    lsh_bands: int = 16
+    lsh_rows_per_band: int = 8
+
+    # --- verification (N7) ---
+    jaccard_threshold: float = 0.7
+
+    # --- SimHash (N5) ---
+    simhash_bits: int = 64
+    # max Hamming distance considered near-dup; probing splits the 64-bit key
+    # into (hamming_max + 1) blocks so any pair within distance shares a block.
+    simhash_hamming_max: int = 3
+
+    # --- suffix-array channel (N6) ---
+    suffix_min_run_tokens: int = 50
+    suffix_enabled: bool = False
+
+    # --- skew handling (N10) ---
+    # LSH buckets larger than this are salted/split before the pair self-join;
+    # a bucket of n rows emits n*(n-1)/2 pairs, so cap the quadratic blowup.
+    bucket_cap: int = 2000
+    bucket_salts: int = 8
+
+    # --- connected components (N8) ---
+    cc_max_iterations: int = 50
+
+    # --- ingest invariants (SURVEY.md §2.8 #5-6) ---
+    drop_empty_text: bool = True
+    dedup_url_keep: str = "first"  # one row per url: earliest warc_ts wins
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_max_records_per_batch: int = 4096
+
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows_per_band != self.num_perm:
+            raise ValueError(
+                f"lsh_bands({self.lsh_bands}) * rows({self.lsh_rows_per_band})"
+                f" != num_perm({self.num_perm})"
+            )
+        if self.shingle_k < 1:
+            raise ValueError("shingle_k must be >= 1")
+        if not (0.0 < self.jaccard_threshold <= 1.0):
+            raise ValueError("jaccard_threshold in (0, 1]")
+
+    @property
+    def lsh_theta(self) -> float:
+        """Approximate S-curve threshold (1/b)^(1/r) of the banding scheme."""
+        return (1.0 / self.lsh_bands) ** (1.0 / self.lsh_rows_per_band)
+
+    def with_(self, **kw) -> "DedupConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = DedupConfig()

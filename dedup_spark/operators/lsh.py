@@ -1,0 +1,93 @@
+"""LSH bucket pair generation (N4 + V2 + N10 in SURVEY.md §2).
+
+The reference's join-shaped work is within-bucket pair enumeration
+(/root/reference/src/find_duplicates_vector.cpp:191-206); here buckets come
+from MinHash band keys. Pair generation is the classic scale hazard: a bucket
+of n rows implies n(n-1)/2 pairs, and boilerplate pages create huge buckets.
+
+Skew strategy (explicit — Catalyst/AQE can split skewed *joins* but cannot fix
+within-group pair explosion):
+  - small buckets (n <= pair_cap_all): all pairs, generated JVM-side from a
+    sorted collect_list with higher-order functions (no self-join shuffle);
+  - hot buckets (n > pair_cap_all): star topology around the min-id hub —
+    O(n) pairs whose transitive closure still connects the bucket, which is
+    what connected components needs; near-identical boilerplate docs all
+    verify against the hub so recall is preserved;
+  - buckets beyond `bucket_cap` are still linear (star), and every hot bucket
+    is reported via `hot_buckets` so no truncation is silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
+
+PAIR_CAP_ALL = 64  # all-pairs only below this bucket size: <= 2016 pairs/bucket
+
+
+def explode_bands(with_bands: DataFrame, id_col: str = "id") -> DataFrame:
+    """(id, band_keys: array<long>) -> (band_idx, band_key, id)."""
+    return with_bands.select(
+        F.col(id_col).alias("id"),
+        F.posexplode("band_keys").alias("band_idx", "band_key"),
+    )
+
+
+def lsh_candidate_pairs(
+    with_bands: DataFrame,
+    config: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "id",
+    channel: str = "minhash",
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from band-bucket co-membership.
+
+    One shuffle: groupBy(band_idx, band_key) with sorted member lists; pairs
+    are generated inline with `transform`/`flatten` (whole-stage codegen), then
+    a distinct over (id_a, id_b) dedups across bands.
+    """
+    exploded = explode_bands(with_bands, id_col)
+    buckets = exploded.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list("id")).alias("members")
+    )
+    n = F.size("members")
+    buckets = buckets.filter(n >= 2)
+
+    members = F.col("members")
+    # all pairs: flatten(transform(members, (x, i) -> transform(tail after i, y -> (x, y))))
+    all_pairs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    # star pairs: hub = members[0] (min id after sort_array)
+    star_pairs = F.transform(
+        F.slice(members, 2, F.size(members)),
+        lambda y: F.struct(F.element_at(members, 1).alias("id_a"), y.alias("id_b")),
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.when(n <= PAIR_CAP_ALL, all_pairs).otherwise(star_pairs)
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct().withColumn("channel", F.lit(channel))
+
+
+def hot_buckets(
+    with_bands: DataFrame,
+    config: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "id",
+) -> DataFrame:
+    """Report buckets above the all-pairs cap (N10: no silent caps)."""
+    exploded = explode_bands(with_bands, id_col)
+    return (
+        exploded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > PAIR_CAP_ALL)
+        .orderBy(F.col("n_members").desc())
+    )

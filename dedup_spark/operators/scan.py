@@ -1,0 +1,46 @@
+"""Scan / ingest operator (S1 in SURVEY.md §2.1).
+
+Mirrors the reference's path scan (/root/reference/src/find_duplicates_base.cpp:16-140):
+  - skip empty content (:34-35)            -> filter trim(text) != ''
+  - count each physical file once even via
+    multiple hard links (:40-51)           -> one row per url (earliest warc_ts)
+  - count files + bytes (:57-58)           -> df.observe metrics
+
+The hard-link analogue is row identity: the same url crawled twice must be a
+single input record; keep policy "first" = earliest warc_ts (config).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
+
+
+def ingest_pages(
+    pages: DataFrame,
+    config: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str | None = "warc_ts",
+) -> DataFrame:
+    """Identity-dedup + empty filter. Narrow projection happens at the caller;
+    this operator never references `html`, so Parquet column pruning keeps the
+    raw payload out of the scan entirely when downstream stages don't need it.
+    """
+    df = pages
+    if config.drop_empty_text:
+        df = df.filter(F.trim(F.col(text_col)) != "")
+    if ts_col is not None and ts_col in df.columns:
+        # one row per url; earliest (or latest) warc_ts wins, url-stable
+        asc = F.col(ts_col).asc() if config.dedup_url_keep == "first" else F.col(ts_col).desc()
+        w = Window.partitionBy(id_col).orderBy(asc)
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        df = df.dropDuplicates([id_col])
+    return df

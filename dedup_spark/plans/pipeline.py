@@ -1,0 +1,170 @@
+"""End-to-end dedup pipeline (SURVEY.md §3.4 target lifecycle).
+
+    ingest -> normalize -> exact channel
+                        -> MinHash-LSH channel -> Jaccard verify
+                        -> SimHash channel     -> Jaccard verify
+           -> union pairs -> connected components -> representatives -> sinks
+
+Reproduces the reference lifecycle (scan -> prune -> hash-group -> verify ->
+harvest -> deal_with_duplicates, /root/reference/src/find_duplicates_map.cpp:147-208
++ /root/reference/src/deal_with_duplicates.cpp:265-355) with the near-dup
+channels the north rule adds.
+
+Scale notes: the shingle table (id, shingle_hashes) is computed once, cached,
+and reused by signature generation and verification; `html` is never selected
+past ingest (column pruning keeps it out of every scan); all joins are equi-
+joins on id or bucket keys with AQE skew splitting enabled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
+from dedup_spark.functions.minhash import band_keys, minhash_signature_udf
+from dedup_spark.functions.simhash import hamming_distance, simhash_blocks, simhash_udf
+from dedup_spark.functions.text import shingle_hashes
+from dedup_spark.operators.components import connected_components
+from dedup_spark.operators.exact import exact_dup_pairs
+from dedup_spark.operators.lsh import lsh_candidate_pairs
+from dedup_spark.operators.representatives import select_representatives
+from dedup_spark.operators.scan import ingest_pages
+from dedup_spark.operators.summarize import summarize_clusters
+from dedup_spark.operators.verify import verify_pairs_jaccard
+
+
+@dataclass
+class DedupResult:
+    members: DataFrame  # url, cluster_id, is_representative, source, warc_ts
+    pairs: DataFrame  # id_a, id_b, channel
+    summary: DataFrame  # n_duplicate_docs, n_duplicate_sets, bytes_reclaimable
+
+
+def simhash_candidate_pairs(
+    sims: DataFrame, config: DedupConfig
+) -> DataFrame:
+    """(id, simhash) -> pairs within the Hamming ball, via block probing.
+
+    Equi-join on (block_idx, block_value); pigeonhole guarantees every pair
+    within hamming_max shares a block. Self-join is shuffle-on-key with
+    bounded fan-out (block values are 16-bit over near-uniform hashes — hot
+    blocks only arise from true near-dup mass, which the Jaccard verify
+    stage re-filters anyway).
+    """
+    blocks = sims.select(
+        "id",
+        "simhash",
+        F.posexplode(simhash_blocks("simhash", config)).alias("block_idx", "block_val"),
+    )
+    left = blocks.alias("l")
+    right = blocks.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(
+            hamming_distance(F.col("l.simhash"), F.col("r.simhash"))
+            <= F.lit(config.simhash_hamming_max)
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+        .withColumn("channel", F.lit("simhash"))
+    )
+    return pairs
+
+
+def candidate_and_verified_pairs(
+    docs: DataFrame, config: DedupConfig, channels: tuple[str, ...]
+) -> DataFrame:
+    """docs(id, text) -> verified pairs (id_a, id_b, channel) from all
+    enabled channels, deduped with channel priority exact > minhash > simhash."""
+    all_pairs = []
+
+    if "exact" in channels:
+        all_pairs.append(
+            exact_dup_pairs(docs, id_col="id", text_col="text", config=config)
+            .withColumn("jaccard", F.lit(1.0))
+        )
+
+    need_shingles = bool({"minhash", "simhash"} & set(channels))
+    if need_shingles:
+        shingles = docs.select(
+            "id", shingle_hashes("text", config.shingle_k).alias("shingle_hashes")
+        ).filter(F.size("shingle_hashes") > 0)
+        shingles = shingles.persist()
+
+    if "minhash" in channels:
+        sig = shingles.select(
+            "id",
+            minhash_signature_udf(config)("shingle_hashes").alias("signature"),
+        )
+        banded = sig.select("id", band_keys("signature", config).alias("band_keys"))
+        cand = lsh_candidate_pairs(banded, config, channel="minhash")
+        all_pairs.append(verify_pairs_jaccard(cand, shingles, config))
+
+    if "simhash" in channels:
+        sims = shingles.select(
+            "id", simhash_udf(config)("shingle_hashes").alias("simhash")
+        )
+        cand = simhash_candidate_pairs(sims, config)
+        all_pairs.append(verify_pairs_jaccard(cand, shingles, config))
+
+    pairs = all_pairs[0]
+    for p in all_pairs[1:]:
+        pairs = pairs.unionByName(p)
+    # dedupe across channels, keep highest-priority provenance
+    prio = F.when(F.col("channel") == "exact", 0).when(
+        F.col("channel") == "minhash", 1
+    ).otherwise(2)
+    return (
+        pairs.withColumn("_prio", prio)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min_by("channel", "_prio").alias("channel"),
+            F.max("jaccard").alias("jaccard"),
+        )
+    )
+
+
+def run_dedup(
+    pages: DataFrame,
+    config: DedupConfig = DEFAULT_CONFIG,
+    channels: tuple[str, ...] = ("exact", "minhash", "simhash"),
+) -> DedupResult:
+    ingested = ingest_pages(pages, config)
+    docs = ingested.select(
+        F.col("url").alias("id"),
+        "text",
+        F.coalesce(
+            F.regexp_extract("source", r"(\d+)$", 1).cast("int"), F.lit(0)
+        ).alias("source_rank"),
+        "warc_ts",
+        F.length("text").cast("long").alias("doc_bytes"),
+    )
+    docs = docs.persist()
+
+    pairs = candidate_and_verified_pairs(docs, config, channels)
+    labels = connected_components(pairs, config)
+
+    meta = docs.select("id", "source_rank", "warc_ts", "doc_bytes")
+    members = labels.join(meta, "id").select(
+        F.col("id").alias("url"),
+        "cluster_id",
+        "source_rank",
+        "warc_ts",
+        "doc_bytes",
+    )
+    members = select_representatives(
+        members,
+        cluster_col="cluster_id",
+        order_cols=[F.col("source_rank").asc(), F.col("warc_ts").asc()],
+        id_col="url",
+    )
+    summary = summarize_clusters(members, bytes_col="doc_bytes")
+    return DedupResult(members=members, pairs=pairs, summary=summary)

@@ -1,0 +1,52 @@
+"""SparkSession builder with the engine's standard configuration.
+
+Arrow batching on (all our UDFs are pandas/Arrow-vectorized), AQE on with
+skew-join splitting (SURVEY.md §4.2), shuffle partitions sized to the session
+parallelism so `local[8]` vs `local[32]` scaling runs are honest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
+
+
+def build_session(
+    app_name: str = "dedup_spark",
+    master: str | None = None,
+    config: DedupConfig = DEFAULT_CONFIG,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession tuned for the dedup pipeline.
+
+    ``master`` defaults to $SPARK_GRAFT_MASTER or local[$SPARK_GRAFT_CPUS].
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    sp = shuffle_partitions or config.shuffle_partitions
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(config.arrow_max_records_per_batch),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
