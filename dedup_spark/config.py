@@ -12,9 +12,13 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 
 
-# Mersenne prime 2^61 - 1: modulus for the universal-hash MinHash permutation
-# family. Fits in int64 with headroom for (a*x + b) accumulation in uint64.
-MERSENNE_61 = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: modulus for the universal-hash MinHash permutation
+# family. Coefficients and inputs range over the full field, so a*x + b stays
+# strictly below 2^64 and the arithmetic is EXACT in uint64 — full-range a is
+# what makes the family min-wise independent enough (empirically, agreement
+# rate tracks true Jaccard; a truncated-coefficient 61-bit variant biased
+# agreement from 0.60 up to 0.89 in testing).
+MERSENNE_31 = (1 << 31) - 1
 
 
 @dataclass(frozen=True)
@@ -34,9 +38,13 @@ class DedupConfig:
     minhash_seed: int = 42
 
     # --- LSH banding (N4): bands * rows_per_band must equal num_perm.
-    # theta ~ (1/b)^(1/r): b=16, r=8 -> ~0.71
-    lsh_bands: int = 16
-    lsh_rows_per_band: int = 8
+    # theta ~ (1/b)^(1/r): b=32, r=4 -> ~0.42. The banding threshold must sit
+    # WELL BELOW jaccard_threshold so recall at the verify threshold is ~1
+    # (at J=0.75 the miss probability is (1-0.75^4)^32 ~ 4e-6, vs ~17% for
+    # b=16/r=8); the Jaccard verification stage discards the extra low-J
+    # candidates, so precision is unaffected (SURVEY.md §7.3 #2).
+    lsh_bands: int = 32
+    lsh_rows_per_band: int = 4
 
     # --- verification (N7) ---
     jaccard_threshold: float = 0.7

@@ -31,7 +31,10 @@ def ingest_pages(
     """
     df = pages
     if config.drop_empty_text:
-        df = df.filter(F.trim(F.col(text_col)) != "")
+        # trim() alone strips only spaces; whitespace-only docs (tabs,
+        # newlines) must also be excluded (reference skips empty files,
+        # find_duplicates_base.cpp:34-35)
+        df = df.filter(F.regexp_replace(F.col(text_col), r"\s+", "") != "")
     if ts_col is not None and ts_col in df.columns:
         # one row per url; earliest (or latest) warc_ts wins, url-stable
         asc = F.col(ts_col).asc() if config.dedup_url_keep == "first" else F.col(ts_col).desc()
