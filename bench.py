@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": docs_per_sec, "unit": "docs/sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+The headline metric is end-to-end dedup throughput (docs/sec) for the full
+pipeline (exact + MinHash-LSH + SimHash -> Jaccard verify -> connected
+components -> representatives) over the documents table. Scaling-efficiency
+evidence (local[8] vs local[32]) is produced by scale_bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.session import build_session
+
+    config = DedupConfig(shuffle_partitions=max(int(cpus) * 2, 8))
+    spark = build_session(
+        "dedup_bench", master=f"local[{cpus}]", config=config,
+        shuffle_partitions=config.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from dedup_spark.queries import QUERIES
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    bench_queries = [
+        "pipeline_end_to_end",   # headline
+        "g4_exact_clusters",
+        "n3_minhash_signatures",
+        "n4_lsh_candidate_pairs",
+        "n5_simhash",
+        "n7_jaccard_pairs",
+        "n8_connected_components",
+        "emb_cosine_topk",
+        "f_token_count",
+        "f_quality",
+        "f_lang_id",
+        "q1_pricing_summary",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    pipeline_sec = timings["pipeline_end_to_end"]
+    docs_per_sec = round(n_docs / pipeline_sec, 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "docs/sec end-to-end dedup throughput (full pipeline: "
+                "exact+MinHash-LSH+SimHash -> Jaccard verify -> CC -> representatives)",
+                "value": docs_per_sec,
+                "unit": "docs/sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "cores": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
