@@ -57,6 +57,9 @@ class DedupConfig:
 
     # --- suffix-array channel (N6) ---
     suffix_min_run_tokens: int = 50
+    # winnowing window (Schleimer et al. 2003): gram size g = min_run - w + 1
+    # gives a shared-fingerprint guarantee exactly at min_run tokens.
+    suffix_winnow_w: int = 8
     suffix_enabled: bool = False
 
     # --- skew handling (N10) ---

@@ -37,13 +37,15 @@ def connected_components(
     sym = e.unionByName(
         e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
+    # checkpoint sym FIRST: labels derive from it, so the (possibly very
+    # expensive) upstream pair pipeline is materialized exactly once
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("id_a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
 
     for _ in range(config.cc_max_iterations):
         # min label over closed neighborhood: self + neighbors' labels

@@ -35,19 +35,19 @@ def explode_bands(with_bands: DataFrame, id_col: str = "id") -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    with_bands: DataFrame,
-    config: DedupConfig = DEFAULT_CONFIG,
-    id_col: str = "id",
-    channel: str = "minhash",
+def pairs_from_buckets(
+    exploded: DataFrame, channel: str, pair_cap_all: int | None = PAIR_CAP_ALL
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) from band-bucket co-membership.
+    """(band_idx, band_key, id) -> distinct candidate pairs (id_a < id_b).
 
     One shuffle: groupBy(band_idx, band_key) with sorted member lists; pairs
     are generated inline with `transform`/`flatten` (whole-stage codegen), then
-    a distinct over (id_a, id_b) dedups across bands.
+    a distinct over (id_a, id_b) dedups across buckets.
+
+    ``pair_cap_all=None`` forces exhaustive all-pairs generation regardless of
+    bucket size (exact-enumeration mode for oracle-matched queries); the
+    default caps quadratic blowup via the star topology.
     """
-    exploded = explode_bands(with_bands, id_col)
     buckets = exploded.groupBy("band_idx", "band_key").agg(
         F.sort_array(F.collect_list("id")).alias("members")
     )
@@ -70,12 +70,21 @@ def lsh_candidate_pairs(
         F.slice(members, 2, F.size(members)),
         lambda y: F.struct(F.element_at(members, 1).alias("id_a"), y.alias("id_b")),
     )
+    cap = F.lit(2**31 - 1) if pair_cap_all is None else F.lit(pair_cap_all)
     pairs = buckets.select(
-        F.explode(
-            F.when(n <= PAIR_CAP_ALL, all_pairs).otherwise(star_pairs)
-        ).alias("p")
+        F.explode(F.when(n <= cap, all_pairs).otherwise(star_pairs)).alias("p")
     ).select("p.id_a", "p.id_b")
     return pairs.distinct().withColumn("channel", F.lit(channel))
+
+
+def lsh_candidate_pairs(
+    with_bands: DataFrame,
+    config: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "id",
+    channel: str = "minhash",
+) -> DataFrame:
+    """Distinct candidate pairs from MinHash band-bucket co-membership."""
+    return pairs_from_buckets(explode_bands(with_bands, id_col), channel)
 
 
 def hot_buckets(

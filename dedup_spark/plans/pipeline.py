@@ -115,13 +115,26 @@ def candidate_and_verified_pairs(
         cand = simhash_candidate_pairs(sims, config)
         all_pairs.append(verify_pairs_jaccard(cand, shingles, config))
 
+    if "suffix" in channels:
+        from dedup_spark.operators.lsh import PAIR_CAP_ALL
+        from dedup_spark.operators.suffix import suffix_repeat_pairs
+
+        # star topology on hot fingerprint buckets: CC only needs connectivity
+        sp = suffix_repeat_pairs(docs, config, pair_cap_all=PAIR_CAP_ALL).select(
+            "id_a", "id_b", "channel", F.lit(None).cast("double").alias("jaccard")
+        )
+        all_pairs.append(sp)
+
     pairs = all_pairs[0]
     for p in all_pairs[1:]:
         pairs = pairs.unionByName(p)
     # dedupe across channels, keep highest-priority provenance
-    prio = F.when(F.col("channel") == "exact", 0).when(
-        F.col("channel") == "minhash", 1
-    ).otherwise(2)
+    prio = (
+        F.when(F.col("channel") == "exact", 0)
+        .when(F.col("channel") == "minhash", 1)
+        .when(F.col("channel") == "simhash", 2)
+        .otherwise(3)
+    )
     return (
         pairs.withColumn("_prio", prio)
         .groupBy("id_a", "id_b")
@@ -137,6 +150,8 @@ def run_dedup(
     config: DedupConfig = DEFAULT_CONFIG,
     channels: tuple[str, ...] = ("exact", "minhash", "simhash"),
 ) -> DedupResult:
+    if config.suffix_enabled and "suffix" not in channels:
+        channels = channels + ("suffix",)
     ingested = ingest_pages(pages, config)
     docs = ingested.select(
         F.col("url").alias("id"),
@@ -149,7 +164,9 @@ def run_dedup(
     )
     docs = docs.persist()
 
-    pairs = candidate_and_verified_pairs(docs, config, channels)
+    # verified pairs are tiny relative to docs; persist so CC's checkpoint and
+    # the returned pairs handle never recompute the candidate channels
+    pairs = candidate_and_verified_pairs(docs, config, channels).persist()
     labels = connected_components(pairs, config)
 
     meta = docs.select("id", "source_rank", "warc_ts", "doc_bytes")

@@ -198,6 +198,32 @@ def n8_connected_components(spark, sf_dir):
     )
 
 
+# N6: suffix-array channel — doc pairs sharing a repeated run of >= 20 tokens.
+# Winnowed rolling-hash fingerprints prune, suffix array + Kasai LCP verifies
+# exactly; the DuckDB oracle enumerates all 20-token windows and joins —
+# identical pair sets because the channel's recall is 1.0 at >= min_run.
+def n6_suffix_pairs(spark, sf_dir, min_run: int = 20):
+    from dedup_spark.operators.suffix import suffix_repeat_pairs
+
+    docs = _docs(spark, sf_dir)
+    cfg = CFG.with_(suffix_min_run_tokens=min_run)
+    return (
+        suffix_repeat_pairs(docs, cfg, id_col="doc_id")
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .distinct()
+    )
+
+
+# F: rolling-hash document fingerprint (1-perm MinHash; rows-only — xxhash64
+# digests have no DuckDB equivalent)
+def f_fingerprint(spark, sf_dir):
+    from dedup_spark.functions.text import fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint("text", k=8).alias("fingerprint")
+    )
+
+
 # N3: MinHash signatures (rows-only: digests are engine-internal)
 def n3_minhash_signatures(spark, sf_dir):
     sh = _docs(spark, sf_dir).select(
@@ -322,6 +348,8 @@ QUERIES = {
     "f_quality": f_quality,
     "f_lang_id": f_lang_id,
     "n2_shingle_stats": n2_shingle_stats,
+    "n6_suffix_pairs": n6_suffix_pairs,
+    "f_fingerprint": f_fingerprint,
     "n7_jaccard_pairs": n7_jaccard_pairs,
     "n8_connected_components": n8_connected_components,
     "n3_minhash_signatures": n3_minhash_signatures,
@@ -454,6 +482,17 @@ ORACLE = {
     """,
     "n2_shingle_stats": f"""
         SELECT doc_id, len({_shingle_sql(5)}) AS n_shingles FROM documents
+    """,
+    "n6_suffix_pairs": f"""
+        WITH win AS (
+          SELECT doc_id,
+                 list_transform(range(1, len({_WORDS}) - 20 + 2),
+                                i -> array_to_string(({_WORDS})[i:i+19], ' ')) AS w
+          FROM documents WHERE {_NORM} != ''
+        ),
+        ex AS (SELECT doc_id, unnest(w) AS tok FROM win)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
     """,
     "n7_jaccard_pairs": f"""
         WITH sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
