@@ -78,6 +78,12 @@ class DedupConfig:
     # --- execution ---
     shuffle_partitions: int = 32
     arrow_max_records_per_batch: int = 4096
+    # multi-consumer intermediates are spill-checkpointed to parquet instead
+    # of .persist(): building Spark's on-heap columnar cache for wide array
+    # columns anti-scales with executor concurrency (measured 2.2x SLOWER at
+    # 32 cores than 8 in local mode), while a columnar write rides the OS
+    # page cache. None -> a fresh temp dir per run.
+    spill_dir: str | None = None
 
     extra: dict = field(default_factory=dict)
 

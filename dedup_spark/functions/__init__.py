@@ -13,8 +13,25 @@ from dedup_spark.functions.text import (
 )
 from dedup_spark.functions.minhash import minhash_signature_udf, band_keys
 from dedup_spark.functions.simhash import simhash_udf, simhash_blocks
+from dedup_spark.functions.signatures import doc_signature_udf, token_hashes
+from dedup_spark.functions.rolling import doc_fingerprints, window_hashes, winnow
+from dedup_spark.functions.suffix import (
+    suffix_array,
+    lcp_array,
+    longest_common_run,
+    bucket_repeat_pairs,
+)
 
 __all__ = [
+    "doc_signature_udf",
+    "token_hashes",
+    "doc_fingerprints",
+    "window_hashes",
+    "winnow",
+    "suffix_array",
+    "lcp_array",
+    "longest_common_run",
+    "bucket_repeat_pairs",
     "normalize_text",
     "tokens",
     "token_count",

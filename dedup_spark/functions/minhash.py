@@ -46,6 +46,44 @@ def fold31(x: np.ndarray) -> np.ndarray:
     return (u ^ (u >> np.uint64(33))) & np.uint64(0x7FFFFFFF)
 
 
+def minhash_from_flat(
+    flat: np.ndarray, lengths: np.ndarray, num_perm: int, seed: int
+) -> np.ndarray:
+    """(n_docs, num_perm) int64 signatures from a flattened shingle-hash
+    array + per-doc lengths. Zero-length docs get the sentinel signature.
+
+    Iterates PERMUTATIONS, not doc chunks: each round is three in-place
+    streaming passes over one (T,) uint64 vector plus a contiguous reduceat —
+    small working set, no (T, P) matrix, no large temporaries. The earlier
+    (T, 128) layout did strided column reduceat and 4x67MB allocations per
+    chunk, which collapsed under many concurrent executor processes
+    (memory-bandwidth bound, ~11x slower at 32 workers).
+    """
+    p = np.uint64(MERSENNE_31)
+    sentinel = np.int64(MERSENNE_31)
+    a, b = _permutation_coeffs(num_perm, seed)
+    n = len(lengths)
+    out = np.full((n, num_perm), sentinel, dtype=np.int64)
+    if flat.size == 0:
+        return out
+    doc_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=doc_starts[1:])
+    nonempty = np.flatnonzero(lengths > 0)
+    if nonempty.size == 0:
+        return out
+    # reduceat offsets: empty docs occupy zero width, so consecutive nonempty
+    # starts delimit exactly each nonempty doc's windows
+    offsets = doc_starts[nonempty]
+    x31 = fold31(flat)
+    tmp = np.empty(flat.size, dtype=np.uint64)
+    for pi in range(num_perm):
+        np.multiply(x31, a[pi], out=tmp)
+        np.add(tmp, b[pi], out=tmp)
+        np.mod(tmp, p, out=tmp)
+        out[nonempty, pi] = np.minimum.reduceat(tmp, offsets).astype(np.int64)
+    return out
+
+
 def minhash_batch(
     shingle_arrays: pd.Series, num_perm: int, seed: int
 ) -> pd.Series:
@@ -54,36 +92,13 @@ def minhash_batch(
     Pure function so unit tests can compare it against a brute-force oracle
     without a SparkSession.
     """
-    a, b = _permutation_coeffs(num_perm, seed)
-    p = np.uint64(MERSENNE_31)
-    sentinel = np.int64(MERSENNE_31)
-
-    lengths = shingle_arrays.map(lambda v: 0 if v is None else len(v)).to_numpy()
-    out = np.empty((len(shingle_arrays), num_perm), dtype=np.int64)
-    nonempty_idx = np.flatnonzero(lengths > 0)
-    out[lengths == 0] = sentinel
-
-    # process docs in chunks whose flattened shingle count stays bounded
-    i = 0
-    while i < len(nonempty_idx):
-        j = i
-        total = 0
-        while j < len(nonempty_idx) and (total == 0 or total + lengths[nonempty_idx[j]] <= _CHUNK_TARGET):
-            total += lengths[nonempty_idx[j]]
-            j += 1
-        idx = nonempty_idx[i:j]
-        flat = np.concatenate(
-            [np.asarray(shingle_arrays.iloc[k], dtype=np.int64) for k in idx]
-        )
-        # (T, P) exact universal hash over the folded 31-bit inputs
-        x31 = fold31(flat)
-        hv = (x31[:, None] * a[None, :] + b[None, :]) % p
-        offsets = np.zeros(len(idx), dtype=np.int64)
-        np.cumsum(lengths[idx][:-1], out=offsets[1:])
-        mins = np.minimum.reduceat(hv, offsets, axis=0)
-        out[idx] = mins.astype(np.int64)
-        i = j
-
+    arrs = [
+        np.empty(0, dtype=np.int64) if v is None else np.asarray(v, dtype=np.int64)
+        for v in shingle_arrays
+    ]
+    lengths = np.array([len(v) for v in arrs], dtype=np.int64)
+    flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    out = minhash_from_flat(flat, lengths, num_perm, seed)
     return pd.Series(list(out))
 
 

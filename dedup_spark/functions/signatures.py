@@ -1,0 +1,132 @@
+"""Fused per-doc signature computation: shingle hashes + MinHash + SimHash in
+ONE Arrow round trip.
+
+Why fused: Catalyst higher-order lambda functions (transform/slice/concat_ws)
+are interpreted per element — building k-word string shingles JVM-side
+measured 28s for 30k docs where hashing the tokens takes 0.4s. So the JVM
+does only `transform(split(normalize(text)), xxhash64)` (one cheap lambda),
+and a single pandas UDF turns token-hash arrays into:
+
+    shingle_hashes : distinct k-token rolling window hashes (array<long>)
+    signature      : 128-perm MinHash over those hashes (array<long>)
+    simhash        : 64-bit SimHash over those hashes (long)
+
+Window hashes are the exact position-independent polynomial of
+functions/rolling.py computed ONCE over the flattened batch (per-doc slices
+of the global output — windows never cross doc boundaries because each doc's
+valid range is [start, end-k]). Equality semantics match string shingles:
+two k-token windows hash equal iff their tokens are equal (64-bit collisions
+aside), so Jaccard/banding behavior is unchanged from the string formulation
+while the hot path stays pure numpy.
+
+Shingle semantics (same as functions/text.shingles): docs with 0 < n < k
+tokens contribute one whole-doc window; empty docs contribute nothing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from dedup_spark.config import DedupConfig
+from dedup_spark.functions.minhash import minhash_batch
+from dedup_spark.functions.rolling import window_hashes
+from dedup_spark.functions.simhash import simhash_batch
+from dedup_spark.functions.text import tokens
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("shingle_hashes", ArrayType(LongType())),
+        StructField("signature", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+    ]
+)
+
+
+def token_hashes(col: Column | str) -> Column:
+    """xxhash64 per whitespace token of normalized text (JVM-side, cheap)."""
+    return F.transform(tokens(col), lambda t: F.xxhash64(t))
+
+
+def _shingle_flat(
+    tok_arrays: pd.Series, k: int
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
+    """(per-doc distinct window-hash arrays, lengths, flat concat).
+
+    One global window_hashes pass over the flattened batch, then per-doc
+    slicing + np.unique. Docs with 0 < n < k get a single whole-doc hash.
+    """
+    lengths = np.array(
+        [0 if v is None else len(v) for v in tok_arrays], dtype=np.int64
+    )
+    total = int(lengths.sum())
+    flat = np.empty(total, dtype=np.int64)
+    pos = 0
+    for v, ln in zip(tok_arrays, lengths):
+        if ln:
+            flat[pos : pos + ln] = np.asarray(v, dtype=np.int64)
+            pos += ln
+    global_wh = window_hashes(flat, k) if total >= k else np.empty(0, np.uint64)
+
+    out: list[np.ndarray] = []
+    start = 0
+    for ln in lengths:
+        if ln == 0:
+            out.append(np.empty(0, dtype=np.int64))
+        elif ln < k:
+            wh = window_hashes(flat[start : start + ln], int(ln))
+            out.append(np.unique(wh).view(np.int64))
+        else:
+            sl = global_wh[start : start + ln - k + 1]
+            out.append(np.unique(sl).view(np.int64))
+        start += ln
+    sh_lengths = np.array([len(a) for a in out], dtype=np.int64)
+    sh_flat = (
+        np.concatenate(out) if len(out) else np.empty(0, dtype=np.int64)
+    )
+    return out, sh_lengths, sh_flat
+
+
+def shingle_hash_arrays(tok_arrays: pd.Series, k: int) -> pd.Series:
+    """Batch: token-hash arrays -> distinct k-window hash arrays (int64)."""
+    out, _, _ = _shingle_flat(tok_arrays, k)
+    return pd.Series(out)
+
+
+def signature_batch(
+    tok_arrays: pd.Series, k: int, num_perm: int, seed: int
+) -> pd.DataFrame:
+    """Pure-function batch used by the UDF (unit-testable without Spark).
+
+    Stays numpy end-to-end: the per-doc arrays handed to Arrow are ndarray
+    views, never Python lists — .tolist() on millions of values measured as
+    the dominant cost of the whole signature stage.
+    """
+    from dedup_spark.functions.minhash import minhash_from_flat
+    from dedup_spark.functions.simhash import simhash_from_flat
+
+    sh_list, sh_lengths, sh_flat = _shingle_flat(tok_arrays, k)
+    sigs = minhash_from_flat(sh_flat, sh_lengths, num_perm, seed)
+    sims = simhash_from_flat(sh_flat, sh_lengths)
+    return pd.DataFrame(
+        {
+            "shingle_hashes": sh_list,
+            "signature": list(sigs),
+            "simhash": sims,
+        }
+    )
+
+
+def doc_signature_udf(config: DedupConfig):
+    """pandas UDF: array<long> token hashes -> struct(shingle_hashes,
+    signature, simhash). One Python worker pass for all three."""
+    k, num_perm, seed = config.shingle_k, config.num_perm, config.minhash_seed
+
+    @F.pandas_udf(SIGNATURE_SCHEMA)
+    def _sig(tok: pd.Series) -> pd.DataFrame:
+        return signature_batch(tok, k, num_perm, seed)
+
+    return _sig

@@ -25,40 +25,47 @@ from dedup_spark.config import DedupConfig
 _CHUNK_TARGET = 1 << 16
 
 
+def simhash_from_flat(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """(n_docs,) int64 SimHash-64 from flattened shingle hashes + lengths.
+
+    Per-bit streaming: for each of the 64 bit positions, one shift-and pass
+    over the flat (T,) vector and one contiguous reduceat-sum of 0/1 counts;
+    the fingerprint bit is 1 iff ones > len/2 (i.e. the ±1 vote is positive).
+    Same cache-friendly shape as minhash_from_flat — no (T, 64) vote matrix.
+    Zero-length docs hash to 0.
+    """
+    n = len(lengths)
+    out_bits = np.zeros(n, dtype=np.uint64)
+    if flat.size == 0:
+        return out_bits.view(np.int64)
+    doc_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=doc_starts[1:])
+    nonempty = np.flatnonzero(lengths > 0)
+    if nonempty.size == 0:
+        return out_bits.view(np.int64)
+    offsets = doc_starts[nonempty]
+    u = flat.view(np.uint64)
+    half = lengths[nonempty].astype(np.int64)  # ones*2 > len <=> vote > 0
+    tmp = np.empty(u.size, dtype=np.int64)
+    one = np.uint64(1)
+    for bit in range(64):
+        np.right_shift(u, np.uint64(bit), out=tmp.view(np.uint64))
+        np.bitwise_and(tmp.view(np.uint64), one, out=tmp.view(np.uint64))
+        ones = np.add.reduceat(tmp, offsets)
+        out_bits[nonempty] |= ((ones * 2 > half).astype(np.uint64)) << np.uint64(bit)
+    return out_bits.view(np.int64)
+
+
 def simhash_batch(shingle_arrays: pd.Series, bits: int = 64) -> pd.Series:
     """64-bit SimHash per doc from its shingle-hash array (pure function)."""
     assert bits == 64
-    shifts = np.arange(64, dtype=np.uint64)
-    lengths = shingle_arrays.map(lambda v: 0 if v is None else len(v)).to_numpy()
-    out = np.zeros(len(shingle_arrays), dtype=np.int64)
-    nonempty_idx = np.flatnonzero(lengths > 0)
-
-    i = 0
-    while i < len(nonempty_idx):
-        j = i
-        total = 0
-        while j < len(nonempty_idx) and (
-            total == 0 or total + lengths[nonempty_idx[j]] <= _CHUNK_TARGET
-        ):
-            total += lengths[nonempty_idx[j]]
-            j += 1
-        idx = nonempty_idx[i:j]
-        flat = np.concatenate(
-            [np.asarray(shingle_arrays.iloc[k], dtype=np.int64) for k in idx]
-        ).view(np.uint64)
-        # (T, 64) bit matrix -> ±1 votes
-        votes = (((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) * 2 - 1)
-        offsets = np.zeros(len(idx), dtype=np.int64)
-        np.cumsum(lengths[idx][:-1], out=offsets[1:])
-        sums = np.add.reduceat(votes, offsets, axis=0)
-        fp_bits = (sums > 0).astype(np.uint64)
-        fp = np.zeros(len(idx), dtype=np.uint64)
-        for bpos in range(64):
-            fp |= fp_bits[:, bpos] << np.uint64(bpos)
-        out[idx] = fp.view(np.int64)
-        i = j
-
-    return pd.Series(out)
+    arrs = [
+        np.empty(0, dtype=np.int64) if v is None else np.asarray(v, dtype=np.int64)
+        for v in shingle_arrays
+    ]
+    lengths = np.array([len(v) for v in arrs], dtype=np.int64)
+    flat = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    return pd.Series(simhash_from_flat(flat, lengths))
 
 
 def simhash_udf(config: DedupConfig):

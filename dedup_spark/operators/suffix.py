@@ -32,14 +32,9 @@ from pyspark.sql.types import ArrayType, LongType
 
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
 from dedup_spark.functions.rolling import doc_fingerprints
+from dedup_spark.functions.signatures import token_hashes
 from dedup_spark.functions.suffix import longest_common_run
-from dedup_spark.functions.text import tokens
 from dedup_spark.operators.lsh import pairs_from_buckets
-
-
-def token_hashes(col) -> F.Column:
-    """xxhash64 per whitespace token of normalized text (JVM-side)."""
-    return F.transform(tokens(col), lambda t: F.xxhash64(t))
 
 
 def fingerprint_udf(config: DedupConfig):

@@ -24,9 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
-from dedup_spark.functions.minhash import band_keys, minhash_signature_udf
-from dedup_spark.functions.simhash import hamming_distance, simhash_blocks, simhash_udf
-from dedup_spark.functions.text import shingle_hashes
+from dedup_spark.functions.minhash import band_keys
+from dedup_spark.functions.signatures import doc_signature_udf, token_hashes
+from dedup_spark.functions.simhash import hamming_distance, simhash_blocks
 from dedup_spark.operators.components import connected_components
 from dedup_spark.operators.exact import exact_dup_pairs
 from dedup_spark.operators.lsh import lsh_candidate_pairs
@@ -41,6 +41,24 @@ class DedupResult:
     members: DataFrame  # url, cluster_id, is_representative, source, warc_ts
     pairs: DataFrame  # id_a, id_b, channel
     summary: DataFrame  # n_duplicate_docs, n_duplicate_sets, bytes_reclaimable
+
+
+def spill(df: DataFrame, config: DedupConfig, name: str) -> DataFrame:
+    """Materialize a multi-consumer intermediate as parquet and read it back.
+
+    Preferred over .persist() for wide columns (shingle/signature arrays):
+    the on-heap columnar cache build is serial-ish under high task concurrency
+    and pressures GC, while a parquet spill is a streaming columnar write
+    through the OS page cache and gives every consumer a clean scan with
+    column pruning. On a cluster this is the classic stage-output checkpoint.
+    """
+    import tempfile
+    import uuid
+
+    base = config.spill_dir or tempfile.gettempdir()
+    path = f"{base}/dedup_spill_{name}_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def simhash_candidate_pairs(
@@ -94,24 +112,25 @@ def candidate_and_verified_pairs(
 
     need_shingles = bool({"minhash", "simhash"} & set(channels))
     if need_shingles:
-        shingles = docs.select(
-            "id", shingle_hashes("text", config.shingle_k).alias("shingle_hashes")
-        ).filter(F.size("shingle_hashes") > 0)
-        shingles = shingles.persist()
+        # fused hot path: one cheap JVM lambda (token xxhash64) + ONE Arrow
+        # round trip computing shingle hashes, MinHash signature, and SimHash
+        # together (functions/signatures.py — interpreted Catalyst lambdas for
+        # string shingling measured ~70x slower than this)
+        feats = docs.select(
+            "id", doc_signature_udf(config)(token_hashes("text")).alias("s")
+        ).select("id", "s.shingle_hashes", "s.signature", "s.simhash")
+        feats = spill(feats.filter(F.size("shingle_hashes") > 0), config, "feats")
+        shingles = feats.select("id", "shingle_hashes")
 
     if "minhash" in channels:
-        sig = shingles.select(
-            "id",
-            minhash_signature_udf(config)("shingle_hashes").alias("signature"),
+        banded = feats.select(
+            "id", band_keys("signature", config).alias("band_keys")
         )
-        banded = sig.select("id", band_keys("signature", config).alias("band_keys"))
         cand = lsh_candidate_pairs(banded, config, channel="minhash")
         all_pairs.append(verify_pairs_jaccard(cand, shingles, config))
 
     if "simhash" in channels:
-        sims = shingles.select(
-            "id", simhash_udf(config)("shingle_hashes").alias("simhash")
-        )
+        sims = feats.select("id", "simhash")
         cand = simhash_candidate_pairs(sims, config)
         all_pairs.append(verify_pairs_jaccard(cand, shingles, config))
 
@@ -162,7 +181,7 @@ def run_dedup(
         "warc_ts",
         F.length("text").cast("long").alias("doc_bytes"),
     )
-    docs = docs.persist()
+    docs = spill(docs, config, "docs")
 
     # verified pairs are tiny relative to docs; persist so CC's checkpoint and
     # the returned pairs handle never recompute the candidate channels

@@ -16,14 +16,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig
-from dedup_spark.functions.minhash import band_keys, minhash_signature_udf
-from dedup_spark.functions.simhash import simhash_udf
+from dedup_spark.functions.minhash import band_keys
 from dedup_spark.functions.text import (
     lang_id_expr,
     normalize_text,
     quality_features,
     shingles,
-    shingle_hashes,
     token_count,
 )
 from dedup_spark.operators.components import connected_components
@@ -224,20 +222,26 @@ def f_fingerprint(spark, sf_dir):
     )
 
 
+# N2/N3/N5 fused features: the engine's hot path (one Arrow round trip)
+def _doc_features(spark, sf_dir):
+    from dedup_spark.functions.signatures import doc_signature_udf, token_hashes
+
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", doc_signature_udf(CFG)(token_hashes("text")).alias("s"))
+        .select("doc_id", "s.shingle_hashes", "s.signature", "s.simhash")
+        .filter(F.size("shingle_hashes") > 0)
+    )
+
+
 # N3: MinHash signatures (rows-only: digests are engine-internal)
 def n3_minhash_signatures(spark, sf_dir):
-    sh = _docs(spark, sf_dir).select(
-        "doc_id", shingle_hashes("text", CFG.shingle_k).alias("shingle_hashes")
-    ).filter(F.size("shingle_hashes") > 0)
-    return sh.select(
-        "doc_id", minhash_signature_udf(CFG)("shingle_hashes").alias("signature")
-    )
+    return _doc_features(spark, sf_dir).select("doc_id", "signature")
 
 
 # N4: LSH bucket candidate pairs (rows-only; probabilistic channel)
 def n4_lsh_candidate_pairs(spark, sf_dir):
-    sig = n3_minhash_signatures(spark, sf_dir)
-    banded = sig.select(
+    banded = _doc_features(spark, sf_dir).select(
         F.col("doc_id").alias("id"), band_keys("signature", CFG).alias("band_keys")
     )
     return lsh_candidate_pairs(banded, CFG).select(
@@ -247,10 +251,7 @@ def n4_lsh_candidate_pairs(spark, sf_dir):
 
 # N5: SimHash fingerprints (rows-only)
 def n5_simhash(spark, sf_dir):
-    sh = _docs(spark, sf_dir).select(
-        "doc_id", shingle_hashes("text", CFG.shingle_k).alias("shingle_hashes")
-    ).filter(F.size("shingle_hashes") > 0)
-    return sh.select("doc_id", simhash_udf(CFG)("shingle_hashes").alias("simhash"))
+    return _doc_features(spark, sf_dir).select("doc_id", "simhash")
 
 
 # Full pipeline over documents (rows-only; the flagship end-to-end run)
@@ -308,6 +309,61 @@ def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
     )
 
 
+# Embedding near-dup pairs, exact (oracle-matched): all pairs with cosine >=
+# 0.9. The engine's scale path is emb_near_dup_lsh below; this brute-force
+# variant is the deterministic contract the DuckDB oracle can replicate.
+def emb_near_dup_pairs(spark, sf_dir, threshold: float = 0.45):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# Embedding near-dup via hyperplane LSH (rows-only: probabilistic candidates,
+# exact rescoring — the 100 TB path where the cross join above is impossible)
+def emb_near_dup_lsh(spark, sf_dir, threshold: float = 0.9):
+    from dedup_spark.operators.embedding import cosine_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    return cosine_near_dup_pairs(
+        emb, dim=dim, threshold=threshold, id_col="vec_id", config=CFG
+    ).select(
+        F.col("id_a").alias("vec_a"),
+        F.col("id_b").alias("vec_b"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
+# Embedding ANN top-k via bucketed LSH + exact rescore (rows-only)
+def emb_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
+    from dedup_spark.operators.embedding import ann_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = len(emb.select("v").first()[0])
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ann_topk(emb, q, dim=dim, k=k, id_col="vec_id", config=CFG).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
 # --------------------------------------------------------------------------
 # General analytics breadth (events / lineitem)
 def q_event_rollup(spark, sf_dir):
@@ -357,6 +413,9 @@ QUERIES = {
     "n5_simhash": n5_simhash,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
+    "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_near_dup_lsh": emb_near_dup_lsh,
+    "emb_ann_topk": emb_ann_topk,
     "q_event_rollup": q_event_rollup,
     "q1_pricing_summary": q1_pricing_summary,
 }
@@ -528,6 +587,17 @@ ORACLE = {
                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
           FROM scored
         ) WHERE rank <= 5
+    """,
+    "emb_near_dup_pairs": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+              4) >= 0.45
     """,
     "q_event_rollup": """
         SELECT event_type, count(*) AS n_events, count(user_id) AS n_with_user,

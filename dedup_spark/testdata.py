@@ -199,6 +199,50 @@ def make_corpus(n_rows: int = 1000, seed: int = 42, theta: float = 0.7) -> Corpu
     return Corpus(pages, golden_clusters, golden_pairs, theta, b.group_rows)
 
 
+def synth_pages_spark(
+    spark,
+    n_rows: int,
+    seed: int = 42,
+    vocab: int = 20000,
+    n_sources: int = 4,
+):
+    """Large deterministic input_hint corpus generated ENTIRELY JVM-side.
+
+    spark.range + xxhash64-derived words: distributed, no Python in the loop,
+    byte-identical for a given (n_rows, seed) at any parallelism — the
+    generator a 100 TB bench would actually use (drive-side pandas generation
+    caps out at ~10^5 rows).
+
+    Planted structure: ids with id % 100 < 8 share their text with their
+    4-block (groups of up to 4 exact dups, ~8% of rows); everything else is
+    unique. Token counts 80..200.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_rows)
+    text_seed = F.when(
+        F.pmod("id", F.lit(100)) < 8, F.col("id") - F.pmod("id", F.lit(4))
+    ).otherwise(F.col("id"))
+    n_tokens = (F.pmod(F.xxhash64(F.lit(seed), text_seed), F.lit(121)) + 80)
+    words = F.transform(
+        F.sequence(F.lit(1), n_tokens),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.lit(seed), text_seed, i), F.lit(vocab)).cast("string"),
+        ),
+    )
+    return df.select(
+        F.concat(F.lit("https://synth.example/p"), F.col("id")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat_ws(" ", words).alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("src"), F.pmod("id", F.lit(n_sources)).cast("string")).alias(
+            "source"
+        ),
+    )
+
+
 def corpus_to_spark(spark, corpus: Corpus):
     """pages as a Spark DataFrame with the input_hint schema."""
     from pyspark.sql.types import (

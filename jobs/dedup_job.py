@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the dedup pipeline (north rule packaging).
+
+Usage (cluster):
+    zip -r dedup_spark.zip dedup_spark
+    spark-submit --py-files dedup_spark.zip jobs/dedup_job.py \
+        --input <pages table/path> --output <dir> \
+        --checkpoint-dir <dir> --action summarize \
+        [--channels exact,minhash,simhash,suffix] [--partition-col source]
+
+Sandbox (local[N]): --input may be a parquet path of the input_hint schema
+(url, warc_ts, html, text, lang[, source]); with --synthetic N a deterministic
+corpus is generated instead (no external data).
+
+Actions mirror the reference's sink selector
+(/root/reference/src/utilities.h:10-14 Action enum): `list` writes the full
+member table, `summarize` prints the S5 aggregate, `canonicalize` writes the
+kept-set plus a redirects(url, canonical_url) table — the Iceberg-era analogue
+of delete/hardlink sinks (SURVEY.md §2.1 S4-S7).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# runnable from a checkout without --py-files: add the repo root
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="PySpark near-dup detection job")
+    ap.add_argument("--input", help="pages parquet path or Iceberg table")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate a deterministic synthetic corpus of N rows")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="enable per-partition checkpoint/resume under this dir")
+    ap.add_argument("--action", default="summarize",
+                    choices=["list", "summarize", "canonicalize"])
+    ap.add_argument("--channels", default="exact,minhash,simhash")
+    ap.add_argument("--partition-col", default="source")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--jaccard-threshold", type=float, default=0.7)
+    args = ap.parse_args(argv)
+
+    from dedup_spark.catalog import Catalog
+    from dedup_spark.config import DedupConfig
+    from dedup_spark.plans.pipeline import run_dedup
+    from dedup_spark.session import build_session
+
+    channels = tuple(c.strip() for c in args.channels.split(",") if c.strip())
+    config = DedupConfig(
+        jaccard_threshold=args.jaccard_threshold,
+        suffix_enabled="suffix" in channels,
+        **({"shuffle_partitions": args.shuffle_partitions}
+           if args.shuffle_partitions else {}),
+    )
+    spark = build_session("dedup_job", master=args.master, config=config)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        from dedup_spark.testdata import corpus_to_spark, make_corpus
+
+        pages = corpus_to_spark(spark, make_corpus(args.synthetic, seed=42))
+    else:
+        if not args.input:
+            ap.error("--input or --synthetic required")
+        pages = (
+            spark.read.format("iceberg").load(args.input)
+            if "." in args.input and "/" not in args.input
+            else spark.read.parquet(args.input)
+        )
+
+    t0 = time.perf_counter()
+    if args.checkpoint_dir:
+        from dedup_spark.plans.checkpoint import run_dedup_checkpointed
+
+        members = run_dedup_checkpointed(
+            pages, config, args.checkpoint_dir, partition_col=args.partition_col
+        )
+        summary = None
+    else:
+        res = run_dedup(pages, config, channels=channels)
+        members, summary = res.members, res.summary
+
+    cat = Catalog(spark, args.output)
+    if args.action == "list":
+        cat.write(members, "members")
+    elif args.action == "summarize":
+        from dedup_spark.operators.summarize import summarize_clusters
+
+        s = summary if summary is not None else summarize_clusters(members)
+        row = s.collect()[0].asDict()
+        print(json.dumps(row))
+        cat.write(s, "summary")
+    else:  # canonicalize: kept set + redirects table (S6/S7 analogue)
+        from pyspark.sql import functions as F
+
+        cat.write(members.filter("is_representative").select("url"), "kept")
+        reps = members.filter("is_representative").select(
+            "cluster_id", F.col("url").alias("canonical_url")
+        )
+        redirects = (
+            members.filter(~F.col("is_representative"))
+            .join(reps, "cluster_id")
+            .select("url", "canonical_url")
+        )
+        cat.write(redirects, "redirects")
+
+    n = members.count()
+    dt = time.perf_counter() - t0
+    print(f"# dedup_job: {n} member rows in {dt:.1f}s", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for BASELINE.json's two-cluster-size criterion.
+
+No real cluster exists in this sandbox, so (per the driver instruction) the
+same job + same input runs at two parallelism levels — local[N] and local[4N]
+— each in a FRESH subprocess/JVM (a SparkSession cannot change master in
+process), with shuffle partitions scaled 2x cores so the parallelism is real.
+
+    efficiency = (throughput_4N / throughput_N) / 4
+
+The input is a deterministic JVM-generated corpus (testdata.synth_pages_spark,
+no external data) big enough that compute dominates scheduling overhead —
+the driver testdata sf0.1 documents table (5,000 rows) measures pure fixed
+cost at 32 cores and says nothing about scaling.
+
+Writes BENCH/scaling.json and prints one JSON line. Run:
+    python scale_bench.py [--rows 120000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_GEN = r"""
+import sys
+n_rows, path = int(sys.argv[1]), sys.argv[2]
+from dedup_spark.session import build_session
+from dedup_spark.testdata import synth_pages_spark
+spark = build_session("scale_gen", master="local[32]", shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+synth_pages_spark(spark, n_rows).repartition(64).write.mode("overwrite").parquet(path)
+print("generated", spark.read.parquet(path).count())
+spark.stop()
+"""
+
+_CHILD = r"""
+import json, sys, time
+cores, path = int(sys.argv[1]), sys.argv[2]
+from dedup_spark.config import DedupConfig
+from dedup_spark.session import build_session
+from dedup_spark.plans.pipeline import run_dedup
+config = DedupConfig(shuffle_partitions=cores * 2)
+spark = build_session("scale_bench", master=f"local[{cores}]", config=config,
+                      shuffle_partitions=cores * 2)
+spark.sparkContext.setLogLevel("ERROR")
+pages = spark.read.parquet(path)
+n_docs = pages.count()  # warms the scan; counted separately from the run
+t0 = time.perf_counter()
+res = run_dedup(pages, config)
+res.members.count()
+dt = time.perf_counter() - t0
+print(json.dumps({"cores": cores, "sec": round(dt, 3),
+                  "docs_per_sec": round(n_docs / dt, 2), "n_docs": n_docs}))
+spark.stop()
+"""
+
+
+def _run(code: str, *argv: str) -> str:
+    out = subprocess.run(
+        [sys.executable, "-c", code, *argv],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return out.stdout.strip().splitlines()[-1]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=120_000)
+    ap.add_argument("--n", type=int, default=8, help="small cluster size N (big = 4N)")
+    ap.add_argument("--corpus", default="/tmp/dedup_scale_corpus")
+    args = ap.parse_args()
+
+    marker = f"{args.corpus}/_ROWS_{args.rows}"
+    if not os.path.exists(marker):
+        print(_run(_GEN, str(args.rows), args.corpus), file=sys.stderr)
+        open(marker, "w").write("ok")
+
+    small = json.loads(_run(_CHILD, str(args.n), args.corpus))
+    big = json.loads(_run(_CHILD, str(args.n * 4), args.corpus))
+    eff = round((big["docs_per_sec"] / small["docs_per_sec"]) / 4, 3)
+    result = {
+        "metric": "scaling efficiency N -> 4N (sandboxed as local[N] vs local[4N])",
+        "n_cores": small, "4n_cores": big,
+        "speedup": round(big["docs_per_sec"] / small["docs_per_sec"], 3),
+        "efficiency": eff,
+        "rows": args.rows,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

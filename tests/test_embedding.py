@@ -1,0 +1,69 @@
+"""Embedding similarity: hyperplane-LSH near-dup channel + ANN vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.operators.embedding import (
+    ann_topk,
+    brute_force_topk,
+    cosine_near_dup_pairs,
+)
+
+DIM = 32
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """64 base vectors + planted near-dups (cosine ~0.99) of the first 8."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((64, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(f"v{i:03d}", base[i].tolist()) for i in range(64)]
+    for i in range(8):
+        # 0.02 noise in 32 dims -> cosine ~0.994, comfortably above 0.95
+        nd = base[i] + 0.02 * rng.standard_normal(DIM)
+        rows.append((f"d{i:03d}", (nd / np.linalg.norm(nd)).tolist()))
+    df = spark.createDataFrame(rows, "id string, embedding array<double>")
+    df.persist().count()
+    return df, base
+
+
+def test_cosine_near_dup_pairs_finds_planted(vectors):
+    df, _ = vectors
+    pairs = cosine_near_dup_pairs(df, dim=DIM, threshold=0.95).toPandas()
+    got = {frozenset((r.id_a, r.id_b)) for r in pairs.itertuples()}
+    expected = {frozenset((f"v{i:03d}", f"d{i:03d}")) for i in range(8)}
+    assert expected <= got
+    assert (pairs.cosine >= 0.95).all()
+
+
+def test_ann_topk_recall_vs_brute_force(vectors):
+    df, _ = vectors
+    v = df.select("id", F.col("embedding").alias("v"))
+    q = df.filter(F.col("id").startswith("v")).limit(10).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_topk(v, q, k=5).toPandas()
+    approx = ann_topk(v, q, dim=DIM, k=5).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"ANN recall {recall}"
+
+
+def test_ann_exact_cosines_match_brute_force(vectors):
+    """Where ANN returns a neighbor the oracle also has, the cosine is exact."""
+    df, _ = vectors
+    v = df.select("id", F.col("embedding").alias("v"))
+    q = df.limit(5).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = brute_force_topk(v, q, k=3).toPandas()
+    approx = ann_topk(v, q, dim=DIM, k=3).toPandas()
+    em = {(r.query_id, r.neighbor_id): r.cosine for r in exact.itertuples()}
+    am = {(r.query_id, r.neighbor_id): r.cosine for r in approx.itertuples()}
+    for key in em.keys() & am.keys():
+        assert abs(em[key] - am[key]) < 1e-9
