@@ -26,10 +26,18 @@ def main() -> None:
     from dedup_spark.config import DedupConfig
     from dedup_spark.session import build_session
 
-    config = DedupConfig(shuffle_partitions=max(int(cpus) * 2, 8))
+    # shuffle + spill on tmpfs when available: the sandbox virtual disk writes
+    # ~316 MB/s and would bottleneck an otherwise CPU-bound run
+    shm = "/dev/shm/dedup_bench" if os.path.isdir("/dev/shm") else None
+    if shm:
+        os.makedirs(shm, exist_ok=True)
+    config = DedupConfig(
+        shuffle_partitions=max(int(cpus) * 2, 8), spill_dir=shm
+    )
     spark = build_session(
         "dedup_bench", master=f"local[{cpus}]", config=config,
         shuffle_partitions=config.shuffle_partitions,
+        extra_conf={"spark.local.dir": shm} if shm else None,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -43,13 +51,16 @@ def main() -> None:
         "n3_minhash_signatures",
         "n4_lsh_candidate_pairs",
         "n5_simhash",
+        "n6_suffix_pairs",
         "n7_jaccard_pairs",
         "n8_connected_components",
         "emb_cosine_topk",
+        "emb_ann_topk",
         "f_token_count",
         "f_quality",
         "f_lang_id",
         "q1_pricing_summary",
+        "q3_top_revenue_orders",
     ]
 
     timings: dict[str, float] = {}
@@ -79,6 +90,11 @@ def main() -> None:
             }
         )
     )
+    if shm:
+        import shutil
+
+        spark.stop()
+        shutil.rmtree(shm, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -42,8 +42,36 @@ SIGNATURE_SCHEMA = StructType(
         StructField("shingle_hashes", ArrayType(LongType())),
         StructField("signature", ArrayType(LongType())),
         StructField("simhash", LongType()),
+        StructField("bands", ArrayType(LongType())),
     ]
 )
+
+# odd multiplier for the band-key polynomial mix (splitmix64 constant)
+_BAND_MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def band_keys_from_signatures(
+    sigs: np.ndarray, bands: int, rows_per_band: int
+) -> np.ndarray:
+    """(n, num_perm) signatures -> (n, bands) int64 band keys, vectorized.
+
+    Key = polynomial fold of the band's r signature rows seeded by the band
+    index (so identical row-slices in different bands never share a bucket),
+    finished with an xor-shift mix. Replaces the JVM `xxhash64(slice(...))`
+    higher-order transform, whose interpreted per-band lambda measured ~20s
+    flat for 600k docs regardless of core count.
+    """
+    n = sigs.shape[0]
+    u = sigs.view(np.uint64).reshape(n, bands, rows_per_band)
+    acc = np.full((n, bands), np.arange(1, bands + 1, dtype=np.uint64))
+    for r in range(rows_per_band):
+        acc *= _BAND_MIX
+        acc ^= u[:, :, r]
+    # finalize: xorshift avalanche
+    acc ^= acc >> np.uint64(31)
+    acc *= _BAND_MIX
+    acc ^= acc >> np.uint64(29)
+    return acc.view(np.int64)
 
 
 def token_hashes(col: Column | str) -> Column:
@@ -97,7 +125,12 @@ def shingle_hash_arrays(tok_arrays: pd.Series, k: int) -> pd.Series:
 
 
 def signature_batch(
-    tok_arrays: pd.Series, k: int, num_perm: int, seed: int
+    tok_arrays: pd.Series,
+    k: int,
+    num_perm: int,
+    seed: int,
+    bands: int,
+    rows_per_band: int,
 ) -> pd.DataFrame:
     """Pure-function batch used by the UDF (unit-testable without Spark).
 
@@ -111,22 +144,25 @@ def signature_batch(
     sh_list, sh_lengths, sh_flat = _shingle_flat(tok_arrays, k)
     sigs = minhash_from_flat(sh_flat, sh_lengths, num_perm, seed)
     sims = simhash_from_flat(sh_flat, sh_lengths)
+    bnd = band_keys_from_signatures(sigs, bands, rows_per_band)
     return pd.DataFrame(
         {
             "shingle_hashes": sh_list,
             "signature": list(sigs),
             "simhash": sims,
+            "bands": list(bnd),
         }
     )
 
 
 def doc_signature_udf(config: DedupConfig):
     """pandas UDF: array<long> token hashes -> struct(shingle_hashes,
-    signature, simhash). One Python worker pass for all three."""
+    signature, simhash, bands). One Python worker pass for all four."""
     k, num_perm, seed = config.shingle_k, config.num_perm, config.minhash_seed
+    b, r = config.lsh_bands, config.lsh_rows_per_band
 
     @F.pandas_udf(SIGNATURE_SCHEMA)
     def _sig(tok: pd.Series) -> pd.DataFrame:
-        return signature_batch(tok, k, num_perm, seed)
+        return signature_batch(tok, k, num_perm, seed, b, r)
 
     return _sig

@@ -24,11 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
-from dedup_spark.functions.minhash import band_keys
 from dedup_spark.functions.signatures import doc_signature_udf, token_hashes
 from dedup_spark.functions.simhash import hamming_distance, simhash_blocks
 from dedup_spark.operators.components import connected_components
 from dedup_spark.operators.exact import exact_dup_pairs
+from dedup_spark.operators.ids import assign_dense_ids
 from dedup_spark.operators.lsh import lsh_candidate_pairs
 from dedup_spark.operators.representatives import select_representatives
 from dedup_spark.operators.scan import ingest_pages
@@ -118,14 +118,15 @@ def candidate_and_verified_pairs(
         # string shingling measured ~70x slower than this)
         feats = docs.select(
             "id", doc_signature_udf(config)(token_hashes("text")).alias("s")
-        ).select("id", "s.shingle_hashes", "s.signature", "s.simhash")
+        ).select("id", "s.shingle_hashes", "s.simhash", "s.bands")
         feats = spill(feats.filter(F.size("shingle_hashes") > 0), config, "feats")
         shingles = feats.select("id", "shingle_hashes")
 
     if "minhash" in channels:
-        banded = feats.select(
-            "id", band_keys("signature", config).alias("band_keys")
-        )
+        # band keys precomputed inside the fused UDF (numpy) — the JVM
+        # xxhash64(slice(...)) transform was interpreted per band and flat
+        # across core counts
+        banded = feats.select("id", F.col("bands").alias("band_keys"))
         cand = lsh_candidate_pairs(banded, config, channel="minhash")
         all_pairs.append(verify_pairs_jaccard(cand, shingles, config))
 
@@ -172,29 +173,52 @@ def run_dedup(
     if config.suffix_enabled and "suffix" not in channels:
         channels = channels + ("suffix",)
     ingested = ingest_pages(pages, config)
-    docs = ingested.select(
-        F.col("url").alias("id"),
-        "text",
-        F.coalesce(
-            F.regexp_extract("source", r"(\d+)$", 1).cast("int"), F.lit(0)
-        ).alias("source_rank"),
-        "warc_ts",
-        F.length("text").cast("long").alias("doc_bytes"),
+
+    # dense long ids for every shuffle-heavy stage (operators/ids.py): band
+    # explode x32, pair gen, and CC iterations all key on the id — an 8-byte
+    # long instead of a 30-80 byte url string cuts shuffle volume 4-10x.
+    # nid follows url sort order, so min(nid) and min(url) pick the same hub.
+    with_ids = assign_dense_ids(
+        ingested.select(
+            "url",
+            "text",
+            F.coalesce(
+                F.regexp_extract("source", r"(\d+)$", 1).cast("int"), F.lit(0)
+            ).alias("source_rank"),
+            "warc_ts",
+            F.length("text").cast("long").alias("doc_bytes"),
+        ),
+        "url",
+        "nid",
     )
-    docs = spill(docs, config, "docs")
+    docs = spill(
+        with_ids.select(F.col("nid").alias("id"), "text"), config, "docs"
+    )
+    idmap = spill(
+        with_ids.select("nid", "url", "source_rank", "warc_ts", "doc_bytes"),
+        config,
+        "idmap",
+    )
+    with_ids.unpersist()
 
     # verified pairs are tiny relative to docs; persist so CC's checkpoint and
     # the returned pairs handle never recompute the candidate channels
     pairs = candidate_and_verified_pairs(docs, config, channels).persist()
     labels = connected_components(pairs, config)
 
-    meta = docs.select("id", "source_rank", "warc_ts", "doc_bytes")
-    members = labels.join(meta, "id").select(
-        F.col("id").alias("url"),
-        "cluster_id",
-        "source_rank",
-        "warc_ts",
-        "doc_bytes",
+    hubs = idmap.select(
+        F.col("nid").alias("cluster_id"), F.col("url").alias("_hub_url")
+    )
+    members = (
+        labels.join(idmap, labels.id == idmap.nid)
+        .join(hubs, "cluster_id")
+        .select(
+            "url",
+            F.col("_hub_url").alias("cluster_id"),
+            "source_rank",
+            "warc_ts",
+            "doc_bytes",
+        )
     )
     members = select_representatives(
         members,

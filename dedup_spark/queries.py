@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig
-from dedup_spark.functions.minhash import band_keys
 from dedup_spark.functions.text import (
     lang_id_expr,
     normalize_text,
@@ -119,6 +118,19 @@ def v1_collision_split(spark, sf_dir):
     )
 
 
+# S7: canonicalize sink — redirects(url -> canonical) for every duplicate doc
+# (the hardlink/symlink analogue: non-representatives point at the kept copy,
+# /root/reference/src/deal_with_duplicates.cpp:169-260)
+def s7_redirects(spark, sf_dir):
+    df = _docs(spark, sf_dir).select("doc_id", normalize_text("text").alias("t"))
+    w = Window.partitionBy("t")
+    return (
+        df.withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select("doc_id", "canonical_doc_id")
+    )
+
+
 # F: token counting
 def f_token_count(spark, sf_dir):
     return _docs(spark, sf_dir).select(
@@ -155,23 +167,25 @@ def n2_shingle_stats(spark, sf_dir):
 
 # N7: exact shingle-Jaccard pairs (deterministic pair channel; candidates from
 # a shared-shingle equi-join — recall 1.0 by construction at J >= 0.2 since
-# J > 0 implies a shared shingle)
+# J > 0 implies a shared shingle). Runs on the fused window-hash shingle sets:
+# hash-set Jaccard equals string-shingle Jaccard exactly (equal windows <=>
+# equal hashes, 64-bit collisions aside — the equivalence is unit-tested), so
+# the DuckDB string-shingle oracle still matches while the hot path stays off
+# interpreted Catalyst lambdas.
 def n7_jaccard_pairs(spark, sf_dir, threshold: float = 0.2):
-    sh = _docs(spark, sf_dir).select(
-        "doc_id", shingles("text", CFG.shingle_k).alias("sh")
-    )
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    sh = _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes")
+    ex = sh.select("doc_id", F.explode("shingle_hashes").alias("h"))
     cand = (
         ex.alias("a")
-        .join(ex.alias("b"), "s")
+        .join(ex.alias("b"), "h")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -229,7 +243,7 @@ def _doc_features(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
         .select("doc_id", doc_signature_udf(CFG)(token_hashes("text")).alias("s"))
-        .select("doc_id", "s.shingle_hashes", "s.signature", "s.simhash")
+        .select("doc_id", "s.shingle_hashes", "s.signature", "s.simhash", "s.bands")
         .filter(F.size("shingle_hashes") > 0)
     )
 
@@ -242,7 +256,7 @@ def n3_minhash_signatures(spark, sf_dir):
 # N4: LSH bucket candidate pairs (rows-only; probabilistic channel)
 def n4_lsh_candidate_pairs(spark, sf_dir):
     banded = _doc_features(spark, sf_dir).select(
-        F.col("doc_id").alias("id"), band_keys("signature", CFG).alias("band_keys")
+        F.col("doc_id").alias("id"), F.col("bands").alias("band_keys")
     )
     return lsh_candidate_pairs(banded, CFG).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -275,6 +289,19 @@ def pipeline_end_to_end(spark, sf_dir):
         F.col("url").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
         "is_representative",
+    )
+
+
+# N10: hot-bucket skew report (rows-only; no silent caps — every LSH bucket
+# above the all-pairs cap is surfaced with its size)
+def n10_hot_buckets(spark, sf_dir):
+    from dedup_spark.operators.lsh import hot_buckets
+
+    banded = _doc_features(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("bands").alias("band_keys")
+    )
+    return hot_buckets(banded, CFG).select(
+        "band_idx", "band_key", "n_members"
     )
 
 
@@ -392,6 +419,36 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
+def q3_top_revenue_orders(spark, sf_dir, n: int = 10):
+    """Q3-shaped join breadth: customer (broadcast) x orders x lineitem.
+
+    The customer side is tiny at every sf -> Spark broadcasts it; lineitem
+    aggregates map-side before the top-k sort.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(rev, orders.o_orderkey == rev.l_orderkey)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_name").alias("customer"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(n)
+    )
+
+
 # --------------------------------------------------------------------------
 QUERIES = {
     "s1_scan_ingest": s1_scan_ingest,
@@ -399,6 +456,7 @@ QUERIES = {
     "g4_exact_clusters": g4_exact_clusters,
     "s5_summarize": s5_summarize,
     "o2_representatives": o2_representatives,
+    "s7_redirects": s7_redirects,
     "v1_collision_split": v1_collision_split,
     "f_token_count": f_token_count,
     "f_quality": f_quality,
@@ -411,6 +469,7 @@ QUERIES = {
     "n3_minhash_signatures": n3_minhash_signatures,
     "n4_lsh_candidate_pairs": n4_lsh_candidate_pairs,
     "n5_simhash": n5_simhash,
+    "n10_hot_buckets": n10_hot_buckets,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -418,6 +477,7 @@ QUERIES = {
     "emb_ann_topk": emb_ann_topk,
     "q_event_rollup": q_event_rollup,
     "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
 }
 
 # DuckDB-dialect SQL producing identical (column name, value) results.
@@ -486,6 +546,12 @@ ORACLE = {
                  row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
           FROM documents
         ) WHERE rn = 1
+    """,
+    "s7_redirects": f"""
+        SELECT doc_id, canonical_doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY {_NORM}) AS canonical_doc_id
+          FROM documents
+        ) WHERE doc_id != canonical_doc_id
     """,
     "v1_collision_split": f"""
         SELECT doc_id, prefix, n_prefix, n_texts FROM (
@@ -612,5 +678,17 @@ ORACLE = {
                round(avg(l_quantity), 4) AS avg_qty,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_revenue_orders": """
+        WITH rev AS (
+          SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o.o_orderkey AS orderkey, c.c_name AS customer, rev.revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN rev ON o.o_orderkey = rev.l_orderkey
+        ORDER BY rev.revenue DESC, orderkey ASC
+        LIMIT 10
     """,
 }

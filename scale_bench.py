@@ -38,14 +38,20 @@ spark.stop()
 """
 
 _CHILD = r"""
-import json, sys, time
+import json, os, shutil, sys, time
 cores, path = int(sys.argv[1]), sys.argv[2]
 from dedup_spark.config import DedupConfig
 from dedup_spark.session import build_session
 from dedup_spark.plans.pipeline import run_dedup
-config = DedupConfig(shuffle_partitions=cores * 2)
+# shuffle + spill on tmpfs: the sandbox's virtual disk writes ~316 MB/s and
+# would otherwise serialize the run (a real cluster has per-executor local
+# SSDs whose aggregate bandwidth scales with the executor count)
+shm = f"/dev/shm/dedup_bench_{cores}"
+os.makedirs(shm, exist_ok=True)
+config = DedupConfig(shuffle_partitions=cores * 2, spill_dir=shm)
 spark = build_session("scale_bench", master=f"local[{cores}]", config=config,
-                      shuffle_partitions=cores * 2)
+                      shuffle_partitions=cores * 2,
+                      extra_conf={"spark.local.dir": shm})
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(path)
 n_docs = pages.count()  # warms the scan; counted separately from the run
@@ -56,6 +62,7 @@ dt = time.perf_counter() - t0
 print(json.dumps({"cores": cores, "sec": round(dt, 3),
                   "docs_per_sec": round(n_docs / dt, 2), "n_docs": n_docs}))
 spark.stop()
+shutil.rmtree(shm, ignore_errors=True)
 """
 
 
