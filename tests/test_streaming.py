@@ -1,0 +1,84 @@
+"""Streaming ingest: batch/stream parity + windowed dup monitor + watermark
+state semantics (SURVEY.md §2.6 — streaming is an extension, batch is the
+reference semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.operators.scan import ingest_pages
+from dedup_spark.streaming.ingest import (
+    read_pages_stream,
+    run_stream_to_parquet,
+    stream_exact_dup_counts,
+    stream_ingest,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, corpus, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    from dedup_spark.testdata import corpus_to_spark
+
+    # two file drops = two micro-batch sets
+    df = corpus_to_spark(spark, corpus)
+    df.filter(F.dayofyear("warc_ts") % 2 == 0).write.mode("append").parquet(src)
+    df.filter(F.dayofyear("warc_ts") % 2 == 1).write.mode("append").parquet(src)
+    return src
+
+
+def test_stream_ingest_matches_batch(spark, config, stream_src, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_pages_stream(spark, stream_src)
+    run_stream_to_parquet(stream_ingest(stream, config), out, ckpt)
+    got = spark.read.parquet(out)
+
+    batch = ingest_pages(spark.read.parquet(stream_src), config)
+    # parity on the ingest invariants: same url set, no empty text
+    assert sorted(r.url for r in got.select("url").collect()) == sorted(
+        r.url for r in batch.select("url").collect()
+    )
+    assert got.filter(F.regexp_replace("text", r"\s+", "") == "").count() == 0
+    # exactly one row per url (watermarked dropDuplicates)
+    assert got.groupBy("url").count().filter("count > 1").count() == 0
+    # content_hash attached and non-null
+    assert got.filter(F.col("content_hash").isNull()).count() == 0
+
+
+def test_stream_dup_counts(spark, config, stream_src, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_pages_stream(spark, stream_src)
+    dups = stream_exact_dup_counts(stream_ingest(stream, config), window="24 hours")
+    run_stream_to_parquet(dups, out, ckpt, mode="append")
+    got = spark.read.parquet(out)
+    # planted exact-dup groups share warc_ts-adjacent rows -> dup hashes appear
+    assert got.count() > 0
+    assert got.filter(F.col("n_copies") < 2).count() == 0
+
+    # cross-check against batch: every reported hash really has >= 2 copies
+    batch = ingest_pages(spark.read.parquet(stream_src), config).withColumn(
+        "content_hash", F.xxhash64(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    )
+    batch_counts = {
+        r.content_hash: r.n
+        for r in batch.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in got.collect():
+        assert batch_counts.get(r.content_hash, 0) >= 2
+
+
+def test_stream_is_incremental(spark, config, stream_src, tmp_path):
+    """Second availableNow run over an unchanged source processes nothing new."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_pages_stream(spark, stream_src)
+    run_stream_to_parquet(stream_ingest(stream, config), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    run_stream_to_parquet(
+        stream_ingest(read_pages_stream(spark, stream_src), config), out, ckpt
+    )
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
