@@ -75,6 +75,16 @@ class DedupConfig:
     drop_empty_text: bool = True
     dedup_url_keep: str = "first"  # one row per url: earliest warc_ts wins
 
+    # --- exact-channel verification key ---
+    # "text": group by the full normalized text — the reference's literal
+    #   content-equality contract (collision splitting by value,
+    #   /root/reference/src/find_duplicates_map.cpp:43-66). Shuffles the text.
+    # "sha256": group by (length, sha256) — 256-bit key, collision probability
+    #   ~n^2/2^257 (~1e-54 at 10^12 docs); shuffles 40 bytes/row instead of
+    #   the document. The right choice at 100 TB; identical results in any
+    #   universe without a SHA-256 collision.
+    exact_verify: str = "text"
+
     # --- execution ---
     shuffle_partitions: int = 32
     arrow_max_records_per_batch: int = 4096

@@ -9,10 +9,12 @@ content*, which both verifies and splits hash collisions exactly
 equality classes, never hash classes).
 
 Scale shape: pass 1 shuffles only (hash, id) — 16 bytes/row; pass 2 shuffles
-full text but only for rows whose hash bucket has >= 2 occupants, which on
-web corpora is a small fraction of input. The final group-by-text is the
-collision splitter: two texts with equal xxhash64 land in the same bucket but
-different groups.
+the verification key only for rows whose hash bucket has >= 2 occupants,
+which on web corpora is a small fraction of input. The verification key is
+the full text by default (the literal content-equality contract; two texts
+with equal xxhash64 land in the same bucket but different groups) or
+(length, sha256) under config.exact_verify="sha256" — 40 bytes/row for the
+100 TB shuffle budget, identical grouping absent a SHA-256 collision.
 """
 
 from __future__ import annotations
@@ -54,13 +56,22 @@ def exact_dup_members(
     dropped (§2.8 #3). Hash collisions are split because the final grouping key
     is the full text, not the hash.
     """
+    if config.exact_verify == "sha256":
+        # 100 TB path: (length, sha256) is the verification key — 40 bytes
+        # shuffled per survivor instead of the whole document; collision
+        # probability ~n^2/2^257 (see config.exact_verify)
+        verify_key = F.struct(
+            F.length(text_col).alias("n"), F.sha2(text_col, 256).alias("h")
+        )
+    else:
+        verify_key = F.col(text_col)
     hashed = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("_text"),
+        verify_key.alias("_vkey"),
         F.xxhash64(text_col).alias("text_hash"),
     )
     survivors = prune_non_candidates(hashed, "text_hash")
-    w = Window.partitionBy("_text")
+    w = Window.partitionBy("_vkey")
     members = (
         survivors.withColumn("_n", F.count(F.lit(1)).over(w))
         .withColumn("exact_cluster_id", F.min("id").over(w))

@@ -41,6 +41,7 @@ class DedupResult:
     members: DataFrame  # url, cluster_id, is_representative, source, warc_ts
     pairs: DataFrame  # id_a, id_b, channel
     summary: DataFrame  # n_duplicate_docs, n_duplicate_sets, bytes_reclaimable
+    channel_stats: DataFrame | None = None  # channel, n_pairs (provenance mix)
 
 
 def spill(df: DataFrame, config: DedupConfig, name: str) -> DataFrame:
@@ -227,4 +228,9 @@ def run_dedup(
         id_col="url",
     )
     summary = summarize_clusters(members, bytes_col="doc_bytes")
-    return DedupResult(members=members, pairs=pairs, summary=summary)
+    channel_stats = pairs.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    return DedupResult(
+        members=members, pairs=pairs, summary=summary, channel_stats=channel_stats
+    )

@@ -67,3 +67,16 @@ def test_cluster_is_content_class_not_hash_class(spark, config):
     m = exact_dup_members(spark.createDataFrame(rows, SCHEMA), config=config).toPandas()
     clusters = m.groupby("exact_cluster_id").id.apply(sorted).tolist()
     assert sorted(clusters) == [["a1", "a2"], ["b1", "b2"]]
+
+
+def test_sha256_verify_mode_equals_text_mode(spark, pages, config):
+    """config.exact_verify='sha256' (the 100 TB shuffle-light key) must
+    produce identical clusters to full-text grouping."""
+    from dedup_spark.config import DedupConfig
+
+    ingested = ingest_pages(pages, config)
+    a = exact_dup_members(ingested, "url", "text", config).toPandas()
+    cfg2 = config.with_(exact_verify="sha256")
+    b = exact_dup_members(ingested, "url", "text", cfg2).toPandas()
+    key = lambda df: sorted(map(tuple, df[["id", "exact_cluster_id"]].values))
+    assert key(a) == key(b)
