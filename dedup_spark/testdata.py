@@ -104,7 +104,12 @@ class _Builder:
         self.group_rows.append((urls, dup_kind))
 
 
-def make_corpus(n_rows: int = 1000, seed: int = 42, theta: float = 0.7) -> Corpus:
+def make_corpus(
+    n_rows: int = 1000,
+    seed: int = 42,
+    theta: float = 0.7,
+    near_groups_per_level: int = 1,
+) -> Corpus:
     b = _Builder(seed)
 
     # 1. exact-dup sets
@@ -114,15 +119,18 @@ def make_corpus(n_rows: int = 1000, seed: int = 42, theta: float = 0.7) -> Corpu
 
     # 2. near-dup sets at target Jaccard levels: shared prefix + fresh tail.
     # For docs of m shingles sharing s: J = s / (2m - s) -> s = 2mJ/(1+J).
+    # `near_groups_per_level` > 1 plants many independent groups per level
+    # (recall benches need a large planted-pair sample; defaults unchanged).
     for target in NEAR_TARGETS:
-        m = 150  # shingles per doc (tokens = m + 4)
-        s = int(round(2 * m * target / (1 + target)))
-        shared = b.words(s + 4)
-        texts = []
-        for _ in range(2):
-            tail = b.words(m - s)  # fresh region incl. boundary shingles
-            texts.append(" ".join(shared + tail))
-        b.add_group(texts, "near", theta)
+        for _g in range(near_groups_per_level):
+            m = 150  # shingles per doc (tokens = m + 4)
+            s = int(round(2 * m * target / (1 + target)))
+            shared = b.words(s + 4)
+            texts = []
+            for _ in range(2):
+                tail = b.words(m - s)  # fresh region incl. boundary shingles
+                texts.append(" ".join(shared + tail))
+            b.add_group(texts, "near", theta)
 
     # 3. collision stand-ins: identical first 40 words, divergent tails
     head = b.words(40)
