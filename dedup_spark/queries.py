@@ -419,6 +419,56 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
+def q_region_revenue(spark, sf_dir):
+    """4-way star join breadth: region -> nation -> customer -> orders, with
+    the three small dims broadcast; revenue rollup per region."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_event_sessions(spark, sf_dir, gap_minutes: int = 30):
+    """Sessionization (gaps-and-islands): per user, a new session starts when
+    the gap to the previous event exceeds `gap_minutes`. lag + running-sum
+    windows — the canonical event-log pattern beyond plain row_number."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ: go through timestamp before long (ANSI)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_breaks = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    with_ids = with_breaks.withColumn(
+        "session_seq", F.sum("new_session").over(w)
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.col("ts").cast("timestamp").cast("long")).alias("session_start_s"),
+            F.max(F.col("ts").cast("timestamp").cast("long")).alias("session_end_s"),
+        )
+        .select(
+            "user_id", "session_seq", "n_events", "session_start_s", "session_end_s"
+        )
+    )
+
+
 def q3_top_revenue_orders(spark, sf_dir, n: int = 10):
     """Q3-shaped join breadth: customer (broadcast) x orders x lineitem.
 
@@ -476,6 +526,8 @@ QUERIES = {
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_ann_topk": emb_ann_topk,
     "q_event_rollup": q_event_rollup,
+    "q_event_sessions": q_event_sessions,
+    "q_region_revenue": q_region_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
 }
@@ -678,6 +730,35 @@ ORACLE = {
                round(avg(l_quantity), 4) AS avg_qty,
                count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_region_revenue": """
+        SELECT r.r_name AS region, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    "q_event_sessions": """
+        WITH ordered AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 30 * 60
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WHERE user_id IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        with_ids AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS session_seq
+          FROM ordered
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               floor(min(epoch(ts)))::BIGINT AS session_start_s,
+               floor(max(epoch(ts)))::BIGINT AS session_end_s
+        FROM with_ids GROUP BY user_id, session_seq
     """,
     "q3_top_revenue_orders": """
         WITH rev AS (
