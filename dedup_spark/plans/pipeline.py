@@ -67,35 +67,37 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """(id, simhash) -> pairs within the Hamming ball, via block probing.
 
-    Equi-join on (block_idx, block_value); pigeonhole guarantees every pair
-    within hamming_max shares a block. Self-join is shuffle-on-key with
-    bounded fan-out (block values are 16-bit over near-uniform hashes — hot
-    blocks only arise from true near-dup mass, which the Jaccard verify
-    stage re-filters anyway).
+    Bucket on (block_idx, block_value): pigeonhole guarantees every pair
+    within hamming_max shares a block. Pair generation goes through the same
+    salted two-level bucket machinery as the MinHash channel (operators/lsh)
+    — block values are only 16-bit, so at web scale a block bucket holds
+    ~n/2^16 docs and an uncapped self-join would explode quadratically; the
+    salted star keeps every task bounded while preserving CC connectivity.
+    The Hamming-distance cut is applied as a pre-filter on the surviving
+    pairs (exact Jaccard verification re-filters after).
     """
-    blocks = sims.select(
+    from dedup_spark.operators.lsh import salted_pairs_from_buckets
+
+    exploded = sims.select(
         "id",
-        "simhash",
-        F.posexplode(simhash_blocks("simhash", config)).alias("block_idx", "block_val"),
+        F.posexplode(simhash_blocks("simhash", config)).alias(
+            "band_idx", "band_key"
+        ),
     )
-    left = blocks.alias("l")
-    right = blocks.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.block_idx") == F.col("r.block_idx"))
-            & (F.col("l.block_val") == F.col("r.block_val"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
+    cand = salted_pairs_from_buckets(
+        exploded, channel="simhash", nsalt=config.bucket_salts
+    )
+    a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("_sh_a"))
+    b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("_sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .filter(
-            hamming_distance(F.col("l.simhash"), F.col("r.simhash"))
+            hamming_distance(F.col("_sh_a"), F.col("_sh_b"))
             <= F.lit(config.simhash_hamming_max)
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-        .withColumn("channel", F.lit("simhash"))
+        .select("id_a", "id_b", "channel")
     )
-    return pairs
 
 
 def candidate_and_verified_pairs(
