@@ -248,9 +248,14 @@ def _doc_features(spark, sf_dir):
     )
 
 
-# N3: MinHash signatures (rows-only: digests are engine-internal)
+# N3: MinHash signatures (rows-only: digests are engine-internal). Emitted as
+# scalar rows (doc_id, perm_idx, sig_value) — the driver's canonicalizer sorts
+# every column through pandas, which cannot factorize array columns, so the
+# 128-long signature is posexploded instead of returned as array<long>.
 def n3_minhash_signatures(spark, sf_dir):
-    return _doc_features(spark, sf_dir).select("doc_id", "signature")
+    return _doc_features(spark, sf_dir).select(
+        "doc_id", F.posexplode("signature").alias("perm_idx", "sig_value")
+    )
 
 
 # N4: LSH bucket candidate pairs (rows-only; probabilistic channel)
@@ -446,8 +451,15 @@ def q_event_sessions(spark, sf_dir, gap_minutes: int = 30):
         F.col("user_id").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # events.ts is TIMESTAMP_NTZ: go through timestamp before long (ANSI)
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # events.ts is TIMESTAMP_NTZ: NEVER cast("timestamp") -> cast("long"),
+    # which reinterprets the wall-clock in the *session* timezone and shifts
+    # every epoch under a non-UTC driver. timestampdiff over NTZ values is
+    # timezone-free and matches DuckDB's epoch(ts) for positive epochs.
+    epoch = F.timestamp_diff(
+        "SECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
     gap = epoch - F.lag(epoch).over(w)
     with_breaks = ev.withColumn(
         "new_session",
@@ -460,8 +472,8 @@ def q_event_sessions(spark, sf_dir, gap_minutes: int = 30):
         with_ids.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min(F.col("ts").cast("timestamp").cast("long")).alias("session_start_s"),
-            F.max(F.col("ts").cast("timestamp").cast("long")).alias("session_end_s"),
+            F.min(epoch).alias("session_start_s"),
+            F.max(epoch).alias("session_end_s"),
         )
         .select(
             "user_id", "session_seq", "n_events", "session_start_s", "session_end_s"

@@ -62,3 +62,19 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_oracle_keys_subset_of_queries():
     assert set(SQL_CHECKED) <= set(ALL)
+
+
+def test_event_sessions_timezone_invariant(spark, duck):
+    """The driver may run under any session timezone; sessionization must be
+    a pure function of the NTZ wall-clock values (round-1 hash-fail was a
+    cast("timestamp").cast("long") reinterpreting epochs in session tz)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        got = _canon(
+            entrymod.queries()["q_event_sessions"](spark, SF_DIR).toPandas()
+        )
+        want = _canon(duck.sql(entrymod.oracle_sql()["q_event_sessions"]).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
