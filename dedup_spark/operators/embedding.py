@@ -26,12 +26,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
-from dedup_spark.operators.lsh import pairs_from_buckets
+from dedup_spark.operators.lsh import salted_pairs_from_buckets
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, n_bits)).astype(np.float64)
+
+
+def banding_for_threshold(
+    threshold: float, n_bits: int = 128, target_miss: float = 5e-3
+) -> tuple[int, int]:
+    """(bands, rows_per_band) whose S-curve recalls cosine>=threshold pairs.
+
+    P[sign bit matches] = 1 - arccos(t)/pi (Charikar 2002); a pair at cosine t
+    is missed with prob (1 - p^r)^b. Pick the LARGEST r (most selective
+    buckets, fewest spurious candidates) whose miss prob at the threshold is
+    <= target_miss — high thresholds get r=8 (strong pruning), low thresholds
+    degrade smoothly toward r=2/r=1 where LSH inherently cannot prune (a
+    cosine-0.45 "near dup" is 63 degrees away: most of the sphere collides).
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    for r in (16, 8, 4, 2, 1):
+        b = n_bits // r
+        if (1.0 - p**r) ** b <= target_miss:
+            return b, r
+    return n_bits, 1
 
 
 def hyperplane_band_udf(
@@ -76,15 +98,22 @@ def cosine_near_dup_pairs(
     config: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "id",
     vec_col: str = "embedding",
-    bands: int = 16,
-    rows_per_band: int = 8,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
 ) -> DataFrame:
     """(id, embedding) -> (id_a, id_b, cosine, channel='embedding') pairs with
     exact cosine >= threshold, candidates from hyperplane-LSH banding.
 
-    With r=8 bits/band and 16 bands, a pair at cosine 0.95 (angle ~18°)
-    collides in at least one band with prob ~1 - (1 - 0.9^8)^16 ≈ 0.9996.
+    Banding auto-adapts to the threshold (`banding_for_threshold`) so the
+    S-curve sits below it: at 0.95 (angle ~18°) r=8/b=16 misses a true pair
+    with prob ~4e-4; at a loose 0.45 it degrades to r=2/b=64 where candidate
+    recall stays ~1 at the cost of selectivity (inherent to the geometry, not
+    the plan). Pair generation is the size-aware salted bucket machinery, so
+    a degenerate bucket (e.g. all-zero sketches of boilerplate embeddings)
+    stars instead of exploding quadratically.
     """
+    if bands is None or rows_per_band is None:
+        bands, rows_per_band = banding_for_threshold(threshold)
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -93,7 +122,9 @@ def cosine_near_dup_pairs(
     exploded = banded.select(
         "id", F.posexplode("band_keys").alias("band_idx", "band_key")
     )
-    cand = pairs_from_buckets(exploded, channel="embedding")
+    cand = salted_pairs_from_buckets(
+        exploded, channel="embedding", nsalt=config.bucket_salts
+    )
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
@@ -141,6 +172,7 @@ def ann_topk(
     id_col: str = "id",
     vec_col: str = "v",
     query_id_col: str = "query_id",
+    round_cosine: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: LSH-bucketed candidate retrieval + exact rescoring.
 
@@ -149,6 +181,9 @@ def ann_topk(
     precision of bucketing for recall of candidates; exact cosine rescoring
     restores ranking quality. Scale path: no cross join anywhere — two
     explodes and an equi-join on (band_idx, band_key).
+
+    ``round_cosine`` rounds the score BEFORE ranking (ties then break on id)
+    so rankings are comparable against oracles that sort rounded values.
     """
     udf = hyperplane_band_udf(dim, bands, rows_per_band, config.minhash_seed)
     vb = vectors.select(
@@ -168,8 +203,11 @@ def ann_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id").asc()
     )
+    score = _cosine(F.col("qv"), F.col("v"))
+    if round_cosine is not None:
+        score = F.round(score, round_cosine)
     return (
-        cand.withColumn("cosine", _cosine(F.col("qv"), F.col("v")))
+        cand.withColumn("cosine", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "rank", "cosine")

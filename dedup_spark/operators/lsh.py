@@ -6,20 +6,29 @@ from MinHash band keys. Pair generation is the classic scale hazard: a bucket
 of n rows implies n(n-1)/2 pairs, and boilerplate pages create huge buckets.
 
 Skew strategy (explicit — Catalyst/AQE can split skewed *joins* but cannot fix
-within-group pair explosion):
-  - small buckets (n <= pair_cap_all): all pairs, generated JVM-side from a
-    sorted collect_list with higher-order functions (no self-join shuffle);
-  - hot buckets (n > pair_cap_all): star topology around the min-id hub —
-    O(n) pairs whose transitive closure still connects the bucket, which is
-    what connected components needs; near-identical boilerplate docs all
-    verify against the hub so recall is preserved;
-  - SALTED two-level aggregation (`salted_pairs_from_buckets`, the default
-    scale path): the bucket key is salted with pmod(xxhash64(id), nsalt)
-    before the collect_list, so no single task ever materializes a
-    10^6-member boilerplate bucket; per-salt stars are then connected by an
-    all-pairs pass over the <= nsalt per-bucket hubs (second, tiny shuffle).
-    Transitive closure is identical to the unsalted star.
-  - every hot bucket is reported via `hot_buckets` so no capping is silent.
+within-group pair explosion). `salted_pairs_from_buckets`, the default scale
+path, is size-aware:
+
+  - bucket sizes are counted first (one partial-aggregated shuffle; the count
+    is map-side combinable so hot keys cannot straggle a reducer);
+  - buckets with n <= pair_cap_all — the overwhelming majority — generate ALL
+    pairs from a sorted collect_list (bounded: <= cap members per task,
+    <= cap*(cap-1)/2 pairs per bucket). No salting, so co-bucketed docs are
+    NEVER separated by their salt: enumeration below the cap is exhaustive.
+  - hot buckets (n > pair_cap_all) switch to the salted two-level star: the
+    bucket key is salted with pmod(xxhash64(id), nsalt) so no single task
+    materializes a 10^6-member boilerplate bucket; per-salt sub-buckets emit
+    all pairs if small else a star around their min-id hub, and the <= nsalt
+    per-bucket hubs are then fully paired (second, tiny shuffle). The
+    transitive closure equals the unsalted bucket's, which is what connected
+    components needs.
+
+  RECALL TRADEOFF inside hot buckets (explicit, not silent): star/hub edges
+  still have to pass downstream verification (Jaccard), so two true near-dups
+  whose only shared buckets are hot are connected through hub docs that may
+  fail the verify cut. Hot buckets are near-identical boilerplate in practice
+  (that is what makes them hot), so hubs verify against members; every hot
+  bucket is nonetheless surfaced via `hot_buckets` so the cap is auditable.
 """
 
 from __future__ import annotations
@@ -31,12 +40,36 @@ from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
 
 PAIR_CAP_ALL = 64  # all-pairs only below this bucket size: <= 2016 pairs/bucket
 
+_KEYS = ["band_idx", "band_key"]
+
 
 def explode_bands(with_bands: DataFrame, id_col: str = "id") -> DataFrame:
     """(id, band_keys: array<long>) -> (band_idx, band_key, id)."""
     return with_bands.select(
         F.col(id_col).alias("id"),
         F.posexplode("band_keys").alias("band_idx", "band_key"),
+    )
+
+
+def _all_pairs(members) -> F.Column:
+    """Inline all-pairs of a sorted member array (whole-stage codegen):
+    flatten(transform(members, (x, i) -> transform(tail after i, y -> (x, y))))."""
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+def _star_pairs(members) -> F.Column:
+    """Hub star: members[0] (min id after sort_array) paired with the rest."""
+    return F.transform(
+        F.slice(members, 2, F.size(members)),
+        lambda y: F.struct(F.element_at(members, 1).alias("id_a"), y.alias("id_b")),
     )
 
 
@@ -51,33 +84,21 @@ def pairs_from_buckets(
 
     ``pair_cap_all=None`` forces exhaustive all-pairs generation regardless of
     bucket size (exact-enumeration mode for oracle-matched queries); the
-    default caps quadratic blowup via the star topology.
+    default caps quadratic blowup via the star topology. NOTE: either way one
+    task collects the full bucket member list — use
+    ``salted_pairs_from_buckets`` when buckets can be arbitrarily hot.
     """
-    buckets = exploded.groupBy("band_idx", "band_key").agg(
+    buckets = exploded.groupBy(*_KEYS).agg(
         F.sort_array(F.collect_list("id")).alias("members")
     )
-    n = F.size("members")
-    buckets = buckets.filter(n >= 2)
-
     members = F.col("members")
-    # all pairs: flatten(transform(members, (x, i) -> transform(tail after i, y -> (x, y))))
-    all_pairs = F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + 2, F.size(members)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    # star pairs: hub = members[0] (min id after sort_array)
-    star_pairs = F.transform(
-        F.slice(members, 2, F.size(members)),
-        lambda y: F.struct(F.element_at(members, 1).alias("id_a"), y.alias("id_b")),
-    )
+    n = F.size(members)
+    buckets = buckets.filter(n >= 2)
     cap = F.lit(2**31 - 1) if pair_cap_all is None else F.lit(pair_cap_all)
     pairs = buckets.select(
-        F.explode(F.when(n <= cap, all_pairs).otherwise(star_pairs)).alias("p")
+        F.explode(
+            F.when(n <= cap, _all_pairs(members)).otherwise(_star_pairs(members))
+        ).alias("p")
     ).select("p.id_a", "p.id_b")
     return pairs.distinct().withColumn("channel", F.lit(channel))
 
@@ -88,66 +109,62 @@ def salted_pairs_from_buckets(
     nsalt: int,
     pair_cap_all: int = PAIR_CAP_ALL,
 ) -> DataFrame:
-    """Skew-proof pair generation: bucket keys salted by pmod(xxhash64(id), s).
+    """Size-aware skew-proof pair generation (see module docstring).
 
-    Level 1 groups by (band_idx, band_key, salt) — every task's member list is
-    ~1/s of the bucket, so a boilerplate mega-bucket can no longer OOM or
-    straggle one reducer. Level 2 connects the per-salt components: all pairs
-    among the s per-bucket hubs (sub-bucket minima; <= s(s-1)/2 tiny pairs per
-    bucket). The union's transitive closure equals the unsalted bucket star's.
+    Exhaustive (identical to the unsalted all-pairs enumeration) for every
+    bucket with <= pair_cap_all members; salted two-level star for hot
+    buckets, whose transitive closure equals the unsalted bucket's.
     """
-    salted = exploded.withColumn(
-        "salt", F.pmod(F.xxhash64("id"), F.lit(nsalt))
-    )
-    buckets = salted.groupBy("band_idx", "band_key", "salt").agg(
-        F.sort_array(F.collect_list("id")).alias("members")
-    )
+    counts = exploded.groupBy(*_KEYS).agg(F.count(F.lit(1)).alias("_n"))
+    hot_keys = counts.filter(F.col("_n") > F.lit(pair_cap_all)).select(*_KEYS)
     members = F.col("members")
     n = F.size(members)
-    all_pairs = F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + 2, F.size(members)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+
+    # small buckets: exhaustive, no salt. hot_keys is tiny in practice (one
+    # row per boilerplate bucket) so AQE turns this into a broadcast anti-join
+    # — the big exploded side is not shuffled here.
+    small = (
+        exploded.join(hot_keys, _KEYS, "left_anti")
+        .groupBy(*_KEYS)
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .filter(n >= 2)
+        .select(F.explode(_all_pairs(members)).alias("p"))
+        .select("p.id_a", "p.id_b")
     )
-    star_pairs = F.transform(
-        F.slice(members, 2, F.size(members)),
-        lambda y: F.struct(F.element_at(members, 1).alias("id_a"), y.alias("id_b")),
+
+    # hot buckets: per-salt sub-buckets, every task bounded by ~bucket/nsalt
+    hot = exploded.join(hot_keys, _KEYS, "left_semi").withColumn(
+        "salt", F.pmod(F.xxhash64("id"), F.lit(nsalt))
     )
-    buckets = buckets.withColumn("hub", F.element_at(members, 1))
+    sub = hot.groupBy(*_KEYS, "salt").agg(
+        F.sort_array(F.collect_list("id")).alias("members")
+    )
+    sub = sub.withColumn("hub", F.element_at(members, 1))
     level1 = (
-        buckets.filter(n >= 2)
+        sub.filter(n >= 2)
         .select(
             F.explode(
-                F.when(n <= F.lit(pair_cap_all), all_pairs).otherwise(star_pairs)
+                F.when(n <= F.lit(pair_cap_all), _all_pairs(members)).otherwise(
+                    _star_pairs(members)
+                )
             ).alias("p")
         )
         .select("p.id_a", "p.id_b")
     )
     # level 2: connect sub-buckets — all pairs among the <= nsalt hubs
-    hubs = buckets.groupBy("band_idx", "band_key").agg(
+    hubs = sub.groupBy(*_KEYS).agg(
         F.sort_array(F.collect_set("hub")).alias("members")
     )
-    hm = F.col("members")
-    hub_pairs = F.flatten(
-        F.transform(
-            hm,
-            lambda x, i: F.transform(
-                F.slice(hm, i + 2, F.size(hm)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     level2 = (
-        hubs.filter(F.size(hm) >= 2)
-        .select(F.explode(hub_pairs).alias("p"))
+        hubs.filter(n >= 2)
+        .select(F.explode(_all_pairs(members)).alias("p"))
         .select("p.id_a", "p.id_b")
     )
     return (
-        level1.unionByName(level2).distinct().withColumn("channel", F.lit(channel))
+        small.unionByName(level1)
+        .unionByName(level2)
+        .distinct()
+        .withColumn("channel", F.lit(channel))
     )
 
 
@@ -158,7 +175,7 @@ def lsh_candidate_pairs(
     channel: str = "minhash",
 ) -> DataFrame:
     """Distinct candidate pairs from MinHash band-bucket co-membership
-    (salted two-level aggregation — the scale path)."""
+    (size-aware salted generation — the scale path)."""
     return salted_pairs_from_buckets(
         explode_bands(with_bands, id_col), channel, nsalt=config.bucket_salts
     )
@@ -172,7 +189,7 @@ def hot_buckets(
     """Report buckets above the all-pairs cap (N10: no silent caps)."""
     exploded = explode_bands(with_bands, id_col)
     return (
-        exploded.groupBy("band_idx", "band_key")
+        exploded.groupBy(*_KEYS)
         .agg(F.count(F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") > PAIR_CAP_ALL)
         .orderBy(F.col("n_members").desc())

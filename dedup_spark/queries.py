@@ -165,25 +165,30 @@ def n2_shingle_stats(spark, sf_dir):
     )
 
 
-# N7: exact shingle-Jaccard pairs (deterministic pair channel; candidates from
-# a shared-shingle equi-join — recall 1.0 by construction at J >= 0.2 since
-# J > 0 implies a shared shingle). Runs on the fused window-hash shingle sets:
-# hash-set Jaccard equals string-shingle Jaccard exactly (equal windows <=>
-# equal hashes, 64-bit collisions aside — the equivalence is unit-tested), so
-# the DuckDB string-shingle oracle still matches while the hot path stays off
-# interpreted Catalyst lambdas.
+# N7: exact shingle-Jaccard pairs (deterministic pair channel; candidates
+# from shared-shingle bucket co-membership — recall 1.0 by construction at
+# J >= 0.2 since J > 0 implies a shared shingle). Candidates ride the engine's
+# size-aware salted bucket generator (operators/lsh.py) with the shingle hash
+# as the bucket key: every bucket <= the cap is enumerated exhaustively (the
+# oracle-equality regime — the driver corpora top out at 4 docs/shingle), and
+# a boilerplate shingle shared by millions of docs degrades to the salted star
+# instead of an m^2/2 self-join blowup. Runs on the fused window-hash shingle
+# sets: hash-set Jaccard equals string-shingle Jaccard exactly (equal windows
+# <=> equal hashes, 64-bit collisions aside — the equivalence is unit-tested),
+# so the DuckDB string-shingle oracle still matches while the hot path stays
+# off interpreted Catalyst lambdas.
 def n7_jaccard_pairs(spark, sf_dir, threshold: float = 0.2):
+    from dedup_spark.operators.lsh import salted_pairs_from_buckets
+
     sh = _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes")
-    ex = sh.select("doc_id", F.explode("shingle_hashes").alias("h"))
-    cand = (
-        ex.alias("a")
-        .join(ex.alias("b"), "h")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    ex = sh.select(
+        F.col("doc_id").alias("id"),
+        F.lit(0).alias("band_idx"),
+        F.explode("shingle_hashes").alias("band_key"),
     )
+    cand = salted_pairs_from_buckets(
+        ex, channel="jaccard", nsalt=CFG.bucket_salts
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -197,7 +202,8 @@ def n7_jaccard_pairs(spark, sf_dir, threshold: float = 0.2):
     )
 
 
-# N8: connected components over the N7 pair graph (iterative; rows-only check)
+# N8: connected components over the N7 pair graph (iterative hash-min label
+# propagation; oracle = DuckDB recursive-CTE transitive closure)
 def n8_connected_components(spark, sf_dir):
     pairs = n7_jaccard_pairs(spark, sf_dir).select(
         F.lpad(F.col("doc_a").cast("string"), 12, "0").alias("id_a"),
@@ -364,23 +370,40 @@ def emb_near_dup_pairs(spark, sf_dir, threshold: float = 0.45):
     )
 
 
-# Embedding near-dup via hyperplane LSH (rows-only: probabilistic candidates,
-# exact rescoring — the 100 TB path where the cross join above is impossible)
-def emb_near_dup_lsh(spark, sf_dir, threshold: float = 0.9):
+# Embedding near-dup via hyperplane LSH: the 100 TB path where the cross join
+# above is impossible. Same threshold (0.45) and SAME DuckDB oracle as the
+# brute-force twin: banding auto-adapts to the threshold
+# (operators/embedding.banding_for_threshold) so candidate recall is ~1 and
+# exact rescoring makes the outputs identical — the driver hash-checks that
+# the scale path and the quadratic oracle agree pair-for-pair.
+def emb_near_dup_lsh(spark, sf_dir, threshold: float = 0.45):
     from dedup_spark.operators.embedding import cosine_near_dup_pairs
 
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
-    return cosine_near_dup_pairs(
-        emb, dim=dim, threshold=threshold, id_col="vec_id", config=CFG
-    ).select(
-        F.col("id_a").alias("vec_a"),
-        F.col("id_b").alias("vec_b"),
-        F.round("cosine", 4).alias("cosine"),
+    # generate at a hair below the threshold, then re-filter on the ROUNDED
+    # cosine: the oracle compares round(cosine, 4) >= threshold, so boundary
+    # pairs (e.g. 0.44997) must be decided on the rounded value on both sides
+    return (
+        cosine_near_dup_pairs(
+            emb, dim=dim, threshold=threshold - 1e-4, id_col="vec_id", config=CFG
+        )
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 
-# Embedding ANN top-k via bucketed LSH + exact rescore (rows-only)
+# Embedding ANN top-k via bucketed LSH + exact rescore. Oracle = the exact
+# brute-force top-k (emb_cosine_topk's SQL): the driver corpus is random
+# normal vectors (top-k cosines ~0.3-0.5, no cluster structure), so the
+# contract run uses recall-first banding (r=2: per-neighbor miss prob <1e-6
+# even at cosine 0.3) — candidate pruning is inherently impossible that far
+# out on the sphere. Selectivity of the r>=4 production banding on clustered
+# corpora is evidenced separately in tests/test_embedding.py.
 def emb_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
     from dedup_spark.operators.embedding import ann_topk
 
@@ -391,9 +414,10 @@ def emb_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    return ann_topk(emb, q, dim=dim, k=k, id_col="vec_id", config=CFG).select(
-        "query_id", "neighbor_id", "rank", F.round("cosine", 4).alias("cosine")
-    )
+    return ann_topk(
+        emb, q, dim=dim, k=k, id_col="vec_id", config=CFG,
+        bands=64, rows_per_band=2, round_cosine=4,
+    ).select("query_id", "neighbor_id", "rank", "cosine")
 
 
 # --------------------------------------------------------------------------
@@ -548,6 +572,18 @@ QUERIES = {
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _WORDS = rf"string_split({_NORM}, ' ')"
 
+# Transitive closure of an `edges(s, d)` CTE (symmetric) -> labels(id = node,
+# r = reachable node); min(r) per id is the component's min-id label. DuckDB's
+# recursive UNION dedups, so the fixpoint is the full reachability set — fine
+# at oracle scale (sf<=0.01 pair graphs are tiny), never the engine's plan.
+_REACH_CTE = """
+        reach(id, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+        )
+"""
+
 
 def _shingle_sql(k: int = 5) -> str:
     """DuckDB expr: distinct k-word shingles of normalized text (list)."""
@@ -701,6 +737,74 @@ ORACLE = {
                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE,
               4) >= 0.2
     """,
+    "n8_connected_components": f"""
+        WITH RECURSIVE
+        sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+          WHERE round(len(list_intersect(sa.s, sb.s)) /
+                      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE,
+                4) >= 0.2
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        {_REACH_CTE}
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    "pipeline_end_to_end": rf"""
+        WITH RECURSIVE
+        sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        near AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+          WHERE len(list_intersect(sa.s, sb.s)) /
+                (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE
+                >= 0.7
+        ),
+        nonempty AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE regexp_replace(text, '\s+', '', 'g') != ''
+        ),
+        exact AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nonempty a JOIN nonempty b
+            ON a.text = b.text AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM near
+          UNION SELECT doc_a, doc_b FROM exact
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        {_REACH_CTE},
+        labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT l.doc_id, l.cluster_id,
+               row_number() OVER (
+                 PARTITION BY l.cluster_id
+                 ORDER BY coalesce(try_cast(regexp_extract(d.source, '(\d+)$', 1) AS INT), 0),
+                          l.doc_id
+               ) = 1 AS is_representative
+        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    """,
     "emb_cosine_topk": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         scored AS (
@@ -728,6 +832,36 @@ ORACLE = {
         WHERE round(list_dot_product(a.v, b.v) /
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
               4) >= 0.45
+    """,
+    # scale-path twins: identical SQL as their brute-force counterparts — the
+    # contract is that the LSH-bucketed plans return the SAME rows
+    "emb_near_dup_lsh": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               4) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+              4) >= 0.45
+    """,
+    "emb_ann_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, e.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+                 4) AS cosine
+          FROM e q JOIN e ON e.vec_id != q.vec_id
+          WHERE q.vec_id < 20
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
     """,
     "q_event_rollup": """
         SELECT event_type, count(*) AS n_events, count(user_id) AS n_with_user,

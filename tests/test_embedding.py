@@ -54,6 +54,45 @@ def test_ann_topk_recall_vs_brute_force(vectors):
     assert recall >= 0.8, f"ANN recall {recall}"
 
 
+def test_banding_for_threshold_curve():
+    """Auto-banding: largest r whose S-curve miss prob at the threshold is
+    <= 5e-3 — selective where geometry allows, recall-first where it doesn't."""
+    import math
+
+    from dedup_spark.operators.embedding import banding_for_threshold
+
+    for t, exp_r in [(0.95, 8), (0.9, 8), (0.7, 4), (0.45, 4)]:
+        b, r = banding_for_threshold(t)
+        assert b * r == 128
+        assert r == exp_r, f"threshold {t}: got r={r}"
+        p = 1 - math.acos(t) / math.pi
+        assert (1 - p**r) ** b <= 5e-3
+
+
+def test_lsh_pairs_equal_brute_force_on_planted(vectors):
+    """The scale path's whole contract: LSH candidates + exact rescore return
+    the SAME pair set as the quadratic scan at the same threshold."""
+    df, _ = vectors
+    lsh = cosine_near_dup_pairs(df, dim=DIM, threshold=0.95).toPandas()
+    a = df.select(F.col("id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("id").alias("id_b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (na * nb))
+        .filter(F.col("cosine") >= 0.95)
+        .toPandas()
+    )
+    assert {frozenset((r.id_a, r.id_b)) for r in lsh.itertuples()} == {
+        frozenset((r.id_a, r.id_b)) for r in brute.itertuples()
+    }
+
+
 def test_ann_exact_cosines_match_brute_force(vectors):
     """Where ANN returns a neighbor the oracle also has, the cosine is exact."""
     df, _ = vectors

@@ -73,3 +73,33 @@ def test_salted_pairs_are_ordered_distinct(exploded):
     out = salted_pairs_from_buckets(exploded, "x", nsalt=4).toPandas()
     assert (out.id_a < out.id_b).all()
     assert not out.duplicated(["id_a", "id_b"]).any()
+
+
+def test_small_buckets_exhaustive_across_salts(spark):
+    """Regression for the cross-salt recall hole: two docs co-bucketed in a
+    sub-cap bucket must be paired DIRECTLY even when their per-id salts
+    differ — enumeration below pair_cap_all is exhaustive, not star-closed."""
+    rows = [(0, 100, f"d{i:03d}") for i in range(12)]
+    df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
+    got = {
+        tuple(r)
+        for r in salted_pairs_from_buckets(df, "x", nsalt=8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    ids = sorted(r[2] for r in rows)
+    want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+    assert got == want  # all 66 pairs, no hub mediation
+
+
+def test_hot_bucket_pairs_bounded_and_connected(spark):
+    """Hot buckets (> cap) must not emit quadratic pairs but must stay one
+    component, with all pairs ordered/distinct."""
+    rows = [(0, 7, f"h{i:04d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
+    out = salted_pairs_from_buckets(df, "x", nsalt=8).toPandas()
+    # sub-buckets (~n/nsalt <= cap) do local all-pairs: bounded by n*cap/2
+    # + hub closure, far below the full quadratic C(300,2)=44850
+    assert len(out) <= 300 * 64 / 2 + 8 * 7 / 2
+    comps = _components(map(tuple, out[["id_a", "id_b"]].values))
+    assert len(comps) == 1 and len(next(iter(comps))) == 300
