@@ -20,17 +20,24 @@ silently merges two unrelated documents.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def assign_dense_ids(
     df: DataFrame, id_col: str = "url", out_col: str = "nid", partitions: int | None = None
-) -> DataFrame:
+) -> tuple[DataFrame, Callable[[], None]]:
     """Add a deterministic dense long `out_col` (0..n-1 in id_col sort order).
 
     One range shuffle + one tiny driver-side offset computation (#partitions
     rows). Rows keep all original columns.
+
+    Returns (out, release): the range-partitioned intermediate is persisted so
+    the offset pass and the caller's consumption share one shuffle; the caller
+    MUST call release() once the output is materialized (e.g. spilled) or the
+    cached partitions leak for the session lifetime.
     """
     n_parts = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = df.repartitionByRange(int(n_parts), F.col(id_col)).withColumn(
@@ -57,4 +64,4 @@ def assign_dense_ids(
         .withColumn(out_col, (F.col("_offset") + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn", "_offset")
     )
-    return out
+    return out, lambda: ranged.unpersist()

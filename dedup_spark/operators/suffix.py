@@ -75,10 +75,16 @@ def suffix_repeat_pairs(
     guarantee plus exact verification); pass a cap to switch hot fingerprint
     buckets to star topology when only CC connectivity is needed.
     """
+    from dedup_spark.plans.pipeline import spill
+
     toks = docs.select(
         F.col(id_col).alias("id"), token_hashes(text_col).alias("tok")
     ).filter(F.size("tok") > 0)
-    toks = toks.persist()
+    # token arrays are a wide array column consumed by both the fingerprint
+    # stage and the two verify joins: parquet spill-checkpoint, NOT .persist()
+    # — the on-heap columnar cache build anti-scales for wide arrays (measured
+    # 2.2x slower at 32 cores; see config.spill_dir)
+    toks = spill(toks, config, "suffix_toks")
 
     fps = toks.select("id", fingerprint_udf(config)("tok").alias("fps"))
     exploded = fps.select(

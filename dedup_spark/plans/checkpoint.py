@@ -151,9 +151,27 @@ class CheckpointedRun:
         """Per-partition resumable stage: each partition is computed, written,
         and marked independently; a resumed run replays finished partitions
         and computes only the missing/stale ones (the north rule's
-        per-Iceberg-partition checkpoint unit)."""
+        per-Iceberg-partition checkpoint unit).
+
+        Partitions REMOVED from the input since a previous run are pruned
+        (data dir + marker deleted) before the stage root is read — otherwise
+        a resumed job would resurrect deleted input rows from the stale
+        part= dir ("input advanced underneath me" also covers retreat)."""
         base = self._stage_path(name)
         os.makedirs(base, exist_ok=True)
+        keep_dirs = {f"part={p}" for p in partitions}
+        for entry in os.listdir(base):
+            if entry.startswith("part=") and entry not in keep_dirs:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                self.replayed = [
+                    r for r in self.replayed if r != f"{name}/{entry[5:]}"
+                ]
+        marker_dir = os.path.join(self.root, "_markers", name)
+        if os.path.isdir(marker_dir):
+            keep_markers = {f"{p}.json" for p in partitions}
+            for mfile in os.listdir(marker_dir):
+                if mfile.endswith(".json") and mfile not in keep_markers:
+                    os.remove(os.path.join(marker_dir, mfile))
         for part in partitions:
             fp = input_fingerprints[part]
             marker = self._read_marker(name, part)
@@ -213,9 +231,12 @@ def run_dedup_checkpointed(
     run = CheckpointedRun(spark, root, config)
 
     parts = [r[0] for r in pages.select(partition_col).distinct().collect()]
+    # content-based, as the module docstring promises: include the text so a
+    # document edited in place under the same (url, warc_ts) recomputes its
+    # partition instead of replaying stale signatures
     fps = {
         p: lineage_fingerprint(
-            pages.filter(F.col(partition_col) == p), ["url", "warc_ts"]
+            pages.filter(F.col(partition_col) == p), ["url", "warc_ts", "text"]
         )
         for p in sorted(parts)
     }

@@ -44,6 +44,17 @@ class DedupResult:
     channel_stats: DataFrame | None = None  # channel, n_pairs (provenance mix)
 
 
+_SPILL_DIRS: list[str] = []
+
+
+def _cleanup_spill_dirs() -> None:
+    import shutil
+
+    for p in _SPILL_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+    _SPILL_DIRS.clear()
+
+
 def spill(df: DataFrame, config: DedupConfig, name: str) -> DataFrame:
     """Materialize a multi-consumer intermediate as parquet and read it back.
 
@@ -52,13 +63,21 @@ def spill(df: DataFrame, config: DedupConfig, name: str) -> DataFrame:
     and pressures GC, while a parquet spill is a streaming columnar write
     through the OS page cache and gives every consumer a clean scan with
     column pruning. On a cluster this is the classic stage-output checkpoint.
+
+    Spill dirs are registered for removal at interpreter exit (they must
+    outlive the run: returned DataFrames lazily re-read them), so repeated
+    runs in one process no longer accumulate dead parquet on disk forever.
     """
+    import atexit
     import tempfile
     import uuid
 
     base = config.spill_dir or tempfile.gettempdir()
     path = f"{base}/dedup_spill_{name}_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(path)
+    if not _SPILL_DIRS:
+        atexit.register(_cleanup_spill_dirs)
+    _SPILL_DIRS.append(path)
     return df.sparkSession.read.parquet(path)
 
 
@@ -181,7 +200,7 @@ def run_dedup(
     # explode x32, pair gen, and CC iterations all key on the id — an 8-byte
     # long instead of a 30-80 byte url string cuts shuffle volume 4-10x.
     # nid follows url sort order, so min(nid) and min(url) pick the same hub.
-    with_ids = assign_dense_ids(
+    with_ids, release_ids = assign_dense_ids(
         ingested.select(
             "url",
             "text",
@@ -202,7 +221,8 @@ def run_dedup(
         config,
         "idmap",
     )
-    with_ids.unpersist()
+    # both consumers are materialized on disk; drop the cached range shuffle
+    release_ids()
 
     # verified pairs are tiny relative to docs; persist so CC's checkpoint and
     # the returned pairs handle never recompute the candidate channels

@@ -60,6 +60,43 @@ def test_stale_partition_recomputes(spark, pages, config, root):
     assert len(out) > 0
 
 
+def test_removed_partition_not_resurrected(spark, pages, config, root):
+    """A partition dropped from the input must vanish from a resumed run's
+    output — stale part= dirs and markers are pruned, not silently re-read."""
+    run_dedup_checkpointed(pages, config, root)
+    victims = [r[0] for r in pages.select("source").distinct().collect()][:1]
+    shrunk = pages.filter(~F.col("source").isin(victims))
+    out = run_dedup_checkpointed(shrunk, config, root)
+    # no url from the removed partition appears in the resumed output
+    gone_urls = {
+        r[0] for r in pages.filter(F.col("source").isin(victims)).select("url").collect()
+    }
+    assert not gone_urls & {r[0] for r in out.select("url").collect()}
+    # the stale part dir and marker are physically gone
+    part_dirs = os.listdir(os.path.join(root, "stage=prepared"))
+    assert f"part={victims[0]}" not in part_dirs
+    markers = os.listdir(os.path.join(root, "_markers", "prepared"))
+    assert f"{victims[0]}.json" not in markers
+
+
+def test_text_change_recomputes_partition(spark, pages, config, root):
+    """Lineage fingerprints are content-based: editing a doc's text under the
+    same (url, warc_ts) must recompute its partition on resume."""
+    run_dedup_checkpointed(pages, config, root)
+    n_before = sum(1 for _ in open(os.path.join(root, "metrics.jsonl")))
+    one_src = [r[0] for r in pages.select("source").distinct().limit(1).collect()][0]
+    edited = pages.withColumn(
+        "text",
+        F.when(
+            F.col("source") == one_src, F.concat(F.col("text"), F.lit(" EDITED"))
+        ).otherwise(F.col("text")),
+    )
+    run_dedup_checkpointed(edited, config, root)
+    n_after = sum(1 for _ in open(os.path.join(root, "metrics.jsonl")))
+    # the edited partition AND the global members stage recompute
+    assert n_after >= n_before + 2
+
+
 def test_lineage_fingerprint_order_independent(spark):
     df1 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, v string")
     df2 = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "id int, v string")
