@@ -73,6 +73,28 @@ def main() -> None:
         timings[name] = round(dt, 3)
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
+    # N9 checkpoint/resume: cold run computes every stage, warm run replays
+    # them all from markers — the warm/cold gap is the resume win the
+    # per-partition checkpoint exists for
+    import tempfile
+
+    from dedup_spark.plans.checkpoint import run_dedup_checkpointed
+    from dedup_spark.queries import documents_as_pages
+
+    root = tempfile.mkdtemp(prefix="bench_ckpt_", dir=shm)
+    pages = documents_as_pages(spark, sf_dir)
+    t0 = time.perf_counter()
+    run_dedup_checkpointed(pages, config, root).count()
+    timings["checkpoint_cold"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    run_dedup_checkpointed(pages, config, root).count()
+    timings["checkpoint_warm_replay"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# checkpoint cold {timings['checkpoint_cold']:.2f}s -> warm replay "
+        f"{timings['checkpoint_warm_replay']:.2f}s",
+        file=sys.stderr,
+    )
+
     pipeline_sec = timings["pipeline_end_to_end"]
     docs_per_sec = round(n_docs / pipeline_sec, 1)
 

@@ -117,11 +117,16 @@ def bucket_repeat_pairs(
 ) -> list[tuple[int, int, int]]:
     """All doc-ordinal pairs in a bucket sharing a token run >= min_run.
 
-    One suffix array over the fenced concatenation of every doc in the
-    bucket; maximal SA intervals with lcp >= min_run identify groups of
-    suffixes sharing a run. Adjacent cross-doc entries get the exact lcp;
-    non-adjacent docs in an interval are connected via the interval's min lcp
-    (conservative), which is what connected components needs.
+    ONE suffix array over the fenced concatenation of every doc in the bucket
+    (amortized: per-pair verification would rebuild an SA per pair). Maximal
+    SA intervals with lcp >= min_run identify suffix groups sharing a run; by
+    the range-minimum property, every cross-doc pair inside such an interval
+    has a common run >= the interval minimum, and conversely any pair with a
+    true common run >= min_run lands in one interval — so emitting ALL pairs
+    per interval is exactly the per-pair-verified pair set. `run_tokens` is
+    the interval minimum (a lower bound, always >= min_run; exact for
+    SA-adjacent entries via the lcp refinement) — use `longest_common_run`
+    when the exact maximum matters.
     Returns (ord_a, ord_b, run_tokens) with ord_a < ord_b, max-aggregated.
     """
     seq, doc_of = fence_concat(arrays)
@@ -145,11 +150,12 @@ def bucket_repeat_pairs(
         docs_in = docs_in[docs_in >= 0]
         uniq = np.unique(docs_in)
         if len(uniq) >= 2:
-            hub = int(uniq[0])
-            for d in uniq[1:]:
-                key = (hub, int(d))
-                if best.get(key, 0) < run_min:
-                    best[key] = int(run_min)
+            run_min = int(run_min)
+            for x in range(len(uniq)):
+                for y in range(x + 1, len(uniq)):
+                    key = (int(uniq[x]), int(uniq[y]))
+                    if best.get(key, 0) < run_min:
+                        best[key] = run_min
             # exact lengths for adjacent cross-doc entries
             for t in range(i, j + 1):
                 x, y = int(owners[t - 1]), int(owners[t])

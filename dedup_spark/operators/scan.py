@@ -12,10 +12,50 @@ single input record; keep policy "first" = earliest warc_ts (config).
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
+
+
+def validate_predicates(preds: list[str]) -> list[str]:
+    """S2: canonicalize the input-selection predicate list (the analogue of
+    the reference's CLI path canonicalization + duplicate-path warning,
+    /root/reference/src/parse.cpp:28-66).
+
+    Strips whitespace, drops empties, dedupes while preserving order (warning
+    on duplicates exactly as the reference warns on repeated paths), and
+    rejects obviously non-boolean garbage early (bare column name with no
+    operator is accepted — it may be a boolean column — but unbalanced quotes
+    or parens are not).
+    """
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in preds:
+        p = " ".join(raw.split())
+        if not p:
+            continue
+        if p.count("(") != p.count(")") or p.count("'") % 2 or p.count('"') % 2:
+            raise ValueError(f"unbalanced quotes/parens in predicate: {raw!r}")
+        if p in seen:
+            print(f"warning: duplicate predicate ignored: {p}", file=sys.stderr)
+            continue
+        seen.add(p)
+        out.append(p)
+    return out
+
+
+def select_input(pages: DataFrame, predicates: list[str]) -> DataFrame:
+    """Apply validated predicates; on a partitioned source, predicates over
+    partition columns reach the scan as PartitionFilters (Catalyst partition
+    pruning — the recursive/non-recursive path selection of the reference's
+    scan, /root/reference/src/find_duplicates_base.cpp:83-110, as metadata-only
+    pruning instead of directory walking)."""
+    for p in validate_predicates(predicates):
+        pages = pages.filter(F.expr(p))
+    return pages
 
 
 def ingest_pages(

@@ -9,17 +9,25 @@ whole-file hash confirms) to substring similarity:
                      pandas UDF, functions/rolling.py). Guarantee: any pair
                      sharing a run of >= min_run_tokens shares a fingerprint,
                      so channel recall is 1.0 up to 64-bit hash collisions.
-  stage 2 (pairs)  : fingerprint-bucket co-membership -> candidate pairs,
-                     reusing the LSH bucket pair generator (same skew caps).
-  stage 3 (verify) : exact longest common token run per pair via suffix
-                     array + Kasai LCP (functions/suffix.py) in an
-                     Arrow-batched pandas UDF; keep pairs >= min_run_tokens.
+  stage 2 (group)  : fingerprint buckets, deduped by member set (near-dup
+                     pairs share many fingerprints; one SA per distinct
+                     member set instead of one per fingerprint).
+  stage 3 (verify) : ONE suffix array + Kasai LCP per bucket
+                     (functions/suffix.bucket_repeat_pairs via applyInPandas)
+                     extracts every pair sharing a run >= min_run_tokens —
+                     amortized over the bucket, versus rebuilding an SA per
+                     candidate pair. Hot buckets (> pair_cap_all members, the
+                     boilerplate case) instead emit salted star candidates
+                     (operators/lsh) verified pair-at-a-time, bounding both
+                     the SA size and the pair count; hot-bucket pairs carry
+                     exact run lengths from `longest_common_run`.
 
 Scale: stage 1 is O(tokens) per doc and embarrassingly parallel; stage 2 is
-one shuffle on fingerprint; stage 3 joins token arrays to pairs (two equi-
-joins on id) and verifies pair-at-a-time — no bucket-sized suffix arrays, no
-driver-side work. At 100 TB the token arrays are the heavy column; they are
-built once, persisted, and never carried past this channel.
+one shuffle on fingerprint with map-side-combined counts; stage 3 tasks are
+bounded by pair_cap_all members per SA group. Token arrays are the heavy
+column — spill-checkpointed once, never carried past this channel.
+`run_tokens` from bucket verification is a lower bound >= min_run (exact for
+SA-adjacent suffixes); pair membership is exact either way.
 """
 
 from __future__ import annotations
@@ -33,8 +41,8 @@ from pyspark.sql.types import ArrayType, LongType
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
 from dedup_spark.functions.rolling import doc_fingerprints
 from dedup_spark.functions.signatures import token_hashes
-from dedup_spark.functions.suffix import longest_common_run
-from dedup_spark.operators.lsh import pairs_from_buckets
+from dedup_spark.functions.suffix import bucket_repeat_pairs, longest_common_run
+from dedup_spark.operators.lsh import salted_pairs_from_buckets
 
 
 def fingerprint_udf(config: DedupConfig):
@@ -61,6 +69,21 @@ def common_run_udf():
     return _run
 
 
+def _bucket_verify_fn(min_run: int):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = list(pdf["id"])
+        arrs = [np.asarray(t, dtype=np.int64) for t in pdf["tok"]]
+        rows = []
+        for a, b, r in bucket_repeat_pairs(arrs, min_run):
+            ia, ib = ids[a], ids[b]
+            if ib < ia:
+                ia, ib = ib, ia
+            rows.append((ia, ib, r))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "run_tokens"])
+
+    return fn
+
+
 def suffix_repeat_pairs(
     docs: DataFrame,
     config: DedupConfig = DEFAULT_CONFIG,
@@ -71,34 +94,67 @@ def suffix_repeat_pairs(
     """docs(id, text) -> (id_a, id_b, run_tokens, channel='suffix') for pairs
     sharing a repeated run of >= config.suffix_min_run_tokens tokens.
 
-    Exhaustive by default (pair_cap_all=None: recall 1.0 — the fingerprint
-    guarantee plus exact verification); pass a cap to switch hot fingerprint
-    buckets to star topology when only CC connectivity is needed.
+    Exhaustive by default (pair_cap_all=None: recall 1.0 — the winnowing
+    fingerprint guarantee plus exact SA verification); pass a cap to bound
+    SA-group size and switch hot fingerprint buckets to the salted star when
+    only CC connectivity is needed at scale.
     """
     from dedup_spark.plans.pipeline import spill
 
     toks = docs.select(
         F.col(id_col).alias("id"), token_hashes(text_col).alias("tok")
     ).filter(F.size("tok") > 0)
-    # token arrays are a wide array column consumed by both the fingerprint
-    # stage and the two verify joins: parquet spill-checkpoint, NOT .persist()
-    # — the on-heap columnar cache build anti-scales for wide arrays (measured
-    # 2.2x slower at 32 cores; see config.spill_dir)
+    # wide array column consumed by fingerprints + both verify paths:
+    # parquet spill-checkpoint, NOT .persist() (on-heap columnar cache of
+    # wide arrays anti-scales; see config.spill_dir)
     toks = spill(toks, config, "suffix_toks")
 
     fps = toks.select("id", fingerprint_udf(config)("tok").alias("fps"))
-    exploded = fps.select(
-        "id", F.lit(0).alias("band_idx"), F.explode("fps").alias("band_key")
-    )
-    cand = pairs_from_buckets(exploded, channel="suffix", pair_cap_all=pair_cap_all)
+    exploded = fps.select("id", F.explode("fps").alias("fp"))
+    cap = (2**31 - 1) if pair_cap_all is None else pair_cap_all
+    counts = exploded.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    hot_keys = counts.filter(F.col("_n") > F.lit(cap)).select("fp")
 
+    # small buckets: dedupe by member set (one SA per distinct doc set, not
+    # per fingerprint), then one bucket-level SA per group
+    id_type = dict(zip(toks.schema.names, toks.schema))["id"].dataType.simpleString()
+    small_sets = (
+        exploded.join(hot_keys, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .filter(F.size("members") >= 2)
+        .select("members")
+        .distinct()
+        .withColumn("bkt", F.xxhash64("members"))
+    )
+    flat = small_sets.select("bkt", F.explode("members").alias("id")).join(
+        toks, "id"
+    )
+    small_pairs = flat.groupBy("bkt").applyInPandas(
+        _bucket_verify_fn(config.suffix_min_run_tokens),
+        schema=f"id_a {id_type}, id_b {id_type}, run_tokens long",
+    )
+
+    # hot buckets: salted star candidates + per-pair exact verification
+    hot = exploded.join(hot_keys, "fp", "left_semi").select(
+        "id", F.lit(0).alias("band_idx"), F.col("fp").alias("band_key")
+    )
+    hot_cand = salted_pairs_from_buckets(
+        hot, channel="suffix", nsalt=config.bucket_salts, pair_cap_all=cap
+    ).select("id_a", "id_b")
     a = toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a"))
     b = toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b"))
-    verified = (
-        cand.join(a, "id_a")
+    hot_pairs = (
+        hot_cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("run_tokens", common_run_udf()(F.col("tok_a"), F.col("tok_b")))
         .filter(F.col("run_tokens") >= config.suffix_min_run_tokens)
-        .select("id_a", "id_b", "run_tokens", "channel")
+        .select("id_a", "id_b", "run_tokens")
     )
-    return verified
+
+    return (
+        small_pairs.unionByName(hot_pairs)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("run_tokens").alias("run_tokens"))
+        .withColumn("channel", F.lit("suffix"))
+    )

@@ -3,13 +3,28 @@
 The reference prints: number of duplicate files = sum(n-1), number of
 duplicate sets, reclaimable bytes = sum((n-1) * size)
 (/root/reference/src/deal_with_duplicates.cpp:273-306). Same aggregates as a
-one-row DataFrame over the cluster member table.
+one-row DataFrame over the cluster member table. `format_bytes` reproduces
+the reference's binary-prefix pretty printer for the report layer.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_PREFIXES = ["", "kibi", "mebi", "gibi", "tebi", "pebi"]
+
+
+def format_bytes(n: int) -> str:
+    """Binary-prefix pretty printer — semantics-identical to the reference's
+    `format_bytes` (/root/reference/src/utilities.cpp:203-222): divide by
+    1024 while strictly > 1024, kibi..pebi prefixes, fixed 2 decimals."""
+    v = float(n)
+    i = 0
+    while v > 1024 and i < len(_PREFIXES) - 1:
+        v /= 1024.0
+        i += 1
+    return f"{v:.2f} {_PREFIXES[i]}bytes"
 
 
 def summarize_clusters(

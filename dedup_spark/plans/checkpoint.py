@@ -214,6 +214,7 @@ def run_dedup_checkpointed(
     config: DedupConfig,
     root: str,
     partition_col: str = "source",
+    run: "CheckpointedRun | None" = None,
 ) -> DataFrame:
     """Checkpoint-resumable end-to-end dedup.
 
@@ -228,7 +229,10 @@ def run_dedup_checkpointed(
     from dedup_spark.operators.scan import ingest_pages
 
     spark = pages.sparkSession
-    run = CheckpointedRun(spark, root, config)
+    if run is None:
+        run = CheckpointedRun(spark, root, config)
+    # pass a pre-built CheckpointedRun to inspect run.replayed/run.computed
+    # afterwards (replay-vs-recompute evidence)
 
     parts = [r[0] for r in pages.select(partition_col).distinct().collect()]
     # content-based, as the module docstring promises: include the text so a

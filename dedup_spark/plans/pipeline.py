@@ -55,6 +55,18 @@ def _cleanup_spill_dirs() -> None:
     _SPILL_DIRS.clear()
 
 
+def register_temp_dir(path: str) -> None:
+    """Register a run-scoped temp dir for removal at interpreter exit.
+
+    For dirs that must outlive the call that created them because returned
+    DataFrames lazily re-read them (spills, throwaway checkpoint roots)."""
+    import atexit
+
+    if not _SPILL_DIRS:
+        atexit.register(_cleanup_spill_dirs)
+    _SPILL_DIRS.append(path)
+
+
 def spill(df: DataFrame, config: DedupConfig, name: str) -> DataFrame:
     """Materialize a multi-consumer intermediate as parquet and read it back.
 
@@ -68,16 +80,13 @@ def spill(df: DataFrame, config: DedupConfig, name: str) -> DataFrame:
     outlive the run: returned DataFrames lazily re-read them), so repeated
     runs in one process no longer accumulate dead parquet on disk forever.
     """
-    import atexit
     import tempfile
     import uuid
 
     base = config.spill_dir or tempfile.gettempdir()
     path = f"{base}/dedup_spill_{name}_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(path)
-    if not _SPILL_DIRS:
-        atexit.register(_cleanup_spill_dirs)
-    _SPILL_DIRS.append(path)
+    register_temp_dir(path)
     return df.sparkSession.read.parquet(path)
 
 
@@ -87,13 +96,18 @@ def simhash_candidate_pairs(
     """(id, simhash) -> pairs within the Hamming ball, via block probing.
 
     Bucket on (block_idx, block_value): pigeonhole guarantees every pair
-    within hamming_max shares a block. Pair generation goes through the same
-    salted two-level bucket machinery as the MinHash channel (operators/lsh)
-    — block values are only 16-bit, so at web scale a block bucket holds
-    ~n/2^16 docs and an uncapped self-join would explode quadratically; the
-    salted star keeps every task bounded while preserving CC connectivity.
-    The Hamming-distance cut is applied as a pre-filter on the surviving
-    pairs (exact Jaccard verification re-filters after).
+    within hamming_max shares a block. Pair generation goes through the
+    size-aware salted bucket machinery shared with the MinHash channel
+    (operators/lsh): blocks holding <= pair_cap_all docs — the normal case —
+    are enumerated exhaustively, so the pigeonhole guarantee carries through
+    to the emitted pair set; a hot block (block values are only 16-bit, so at
+    web scale a block holds ~n/2^16 docs and an uncapped self-join would
+    explode quadratically) falls back to the salted star, where pairs inside
+    it are only hub-connected and must survive the Hamming cut + Jaccard
+    verification through their hubs — the explicit hot-bucket recall
+    tradeoff documented in operators/lsh (surfaced via hot_buckets, never
+    silent). The Hamming-distance cut is applied per generated pair (exact
+    Jaccard verification re-filters after).
     """
     from dedup_spark.operators.lsh import salted_pairs_from_buckets
 

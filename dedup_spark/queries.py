@@ -303,6 +303,35 @@ def pipeline_end_to_end(spark, sf_dir):
     )
 
 
+# N9: checkpoint/resume. Runs the checkpointed pipeline TWICE into a fresh
+# root: the cold run computes and marks every stage (one per source partition
+# + the global members stage), the warm run must replay all of them and
+# compute none. Replay evidence rides in the output as constant columns the
+# DuckDB oracle derives independently (n_stages_replayed = #partitions + 1,
+# n_stages_computed = 0), and the members themselves are hash-checked against
+# the same recursive-CTE clustering oracle as pipeline_end_to_end — so both
+# resume correctness AND resume completeness are driver-verified.
+def n9_checkpoint_resume(spark, sf_dir):
+    import tempfile
+
+    from dedup_spark.plans.checkpoint import CheckpointedRun, run_dedup_checkpointed
+    from dedup_spark.plans.pipeline import register_temp_dir
+
+    root = tempfile.mkdtemp(prefix="dedup_n9_ckpt_")
+    register_temp_dir(root)  # members below lazily re-read the stage parquet
+    pages = documents_as_pages(spark, sf_dir)
+    run_dedup_checkpointed(pages, CFG, root).count()  # cold run: computes
+    warm = CheckpointedRun(spark, root, CFG)
+    members = run_dedup_checkpointed(pages, CFG, root, run=warm)
+    return members.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_representative",
+        F.lit(len(warm.replayed)).cast("long").alias("n_stages_replayed"),
+        F.lit(len(warm.computed)).cast("long").alias("n_stages_computed"),
+    )
+
+
 # N10: hot-bucket skew report (rows-only; no silent caps — every LSH bucket
 # above the all-pairs cap is surfaced with its size)
 def n10_hot_buckets(spark, sf_dir):
@@ -556,6 +585,7 @@ QUERIES = {
     "n4_lsh_candidate_pairs": n4_lsh_candidate_pairs,
     "n5_simhash": n5_simhash,
     "n10_hot_buckets": n10_hot_buckets,
+    "n9_checkpoint_resume": n9_checkpoint_resume,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -606,6 +636,58 @@ _STOPS = {
 def _stop_hits(lang: str) -> str:
     lst = "[" + ", ".join(f"'{w}'" for w in _STOPS[lang]) + "]"
     return f"len(list_filter({_WORDS}, t -> list_contains({lst}, t)))"
+
+
+def _pipeline_oracle_sql(extra_select: str = "") -> str:
+    """Full-pipeline clustering oracle: exact text-equality pairs UNION exact
+    shingle-Jaccard >= 0.7 pairs (unrounded, same IEEE division as the Spark
+    verify stage), recursive-CTE transitive closure, min-id labels, keep-
+    policy representative flag. `extra_select` appends constant evidence
+    columns (n9 resume check)."""
+    return rf"""
+        WITH RECURSIVE
+        sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        near AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+          WHERE len(list_intersect(sa.s, sb.s)) /
+                (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE
+                >= 0.7
+        ),
+        nonempty AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE regexp_replace(text, '\s+', '', 'g') != ''
+        ),
+        exact AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nonempty a JOIN nonempty b
+            ON a.text = b.text AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM near
+          UNION SELECT doc_a, doc_b FROM exact
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        {_REACH_CTE},
+        labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+        SELECT l.doc_id, l.cluster_id,
+               row_number() OVER (
+                 PARTITION BY l.cluster_id
+                 ORDER BY coalesce(try_cast(regexp_extract(d.source, '(\d+)$', 1) AS INT), 0),
+                          l.doc_id
+               ) = 1 AS is_representative{extra_select}
+        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    """
 
 
 ORACLE = {
@@ -761,50 +843,12 @@ ORACLE = {
         {_REACH_CTE}
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
     """,
-    "pipeline_end_to_end": rf"""
-        WITH RECURSIVE
-        sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
-        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        ),
-        near AS (
-          SELECT doc_a, doc_b
-          FROM cand
-          JOIN sh sa ON sa.doc_id = cand.doc_a
-          JOIN sh sb ON sb.doc_id = cand.doc_b
-          WHERE len(list_intersect(sa.s, sb.s)) /
-                (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE
-                >= 0.7
-        ),
-        nonempty AS (
-          SELECT doc_id, text, source FROM documents
-          WHERE regexp_replace(text, '\s+', '', 'g') != ''
-        ),
-        exact AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM nonempty a JOIN nonempty b
-            ON a.text = b.text AND a.doc_id < b.doc_id
-        ),
-        pairs AS (
-          SELECT doc_a, doc_b FROM near
-          UNION SELECT doc_a, doc_b FROM exact
-        ),
-        edges AS (
-          SELECT doc_a AS s, doc_b AS d FROM pairs
-          UNION SELECT doc_b AS s, doc_a AS d FROM pairs
-        ),
-        {_REACH_CTE},
-        labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
-        SELECT l.doc_id, l.cluster_id,
-               row_number() OVER (
-                 PARTITION BY l.cluster_id
-                 ORDER BY coalesce(try_cast(regexp_extract(d.source, '(\d+)$', 1) AS INT), 0),
-                          l.doc_id
-               ) = 1 AS is_representative
-        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
-    """,
+    "pipeline_end_to_end": _pipeline_oracle_sql(),
+    "n9_checkpoint_resume": _pipeline_oracle_sql(
+        """,
+               (SELECT count(DISTINCT source) FROM documents) + 1 AS n_stages_replayed,
+               0::BIGINT AS n_stages_computed"""
+    ),
     "emb_cosine_topk": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         scored AS (

@@ -33,11 +33,15 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None, spark=None) -> None:
     ap = argparse.ArgumentParser(description="PySpark near-dup detection job")
     ap.add_argument("--input", help="pages parquet path or Iceberg table")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate a deterministic synthetic corpus of N rows")
+    ap.add_argument("--where", action="append", default=[],
+                    help="input-selection predicate (SQL boolean expr); "
+                         "repeatable, ANDed; predicates on partition columns "
+                         "prune partitions at the scan (S2)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir", default=None,
                     help="enable per-partition checkpoint/resume under this dir")
@@ -62,8 +66,10 @@ def main(argv: list[str] | None = None) -> None:
         **({"shuffle_partitions": args.shuffle_partitions}
            if args.shuffle_partitions else {}),
     )
-    spark = build_session("dedup_job", master=args.master, config=config)
-    spark.sparkContext.setLogLevel("WARN")
+    owns_session = spark is None
+    if owns_session:
+        spark = build_session("dedup_job", master=args.master, config=config)
+        spark.sparkContext.setLogLevel("WARN")
 
     if args.synthetic:
         from dedup_spark.testdata import corpus_to_spark, make_corpus
@@ -77,6 +83,10 @@ def main(argv: list[str] | None = None) -> None:
             if "." in args.input and "/" not in args.input
             else spark.read.parquet(args.input)
         )
+    if args.where:
+        from dedup_spark.operators.scan import select_input
+
+        pages = select_input(pages, args.where)
 
     t0 = time.perf_counter()
     if args.checkpoint_dir:
@@ -94,11 +104,19 @@ def main(argv: list[str] | None = None) -> None:
     if args.action == "list":
         cat.write(members, "members")
     elif args.action == "summarize":
-        from dedup_spark.operators.summarize import summarize_clusters
+        from dedup_spark.operators.summarize import format_bytes, summarize_clusters
 
         s = summary if summary is not None else summarize_clusters(members)
         row = s.collect()[0].asDict()
         print(json.dumps(row))
+        if row.get("bytes_reclaimable") is not None:
+            # reference report formatting (src/deal_with_duplicates.cpp:273-306)
+            print(
+                f"# {row['n_duplicate_docs']} duplicate docs in "
+                f"{row['n_duplicate_sets']} sets, "
+                f"{format_bytes(row['bytes_reclaimable'])} reclaimable",
+                file=sys.stderr,
+            )
         cat.write(s, "summary")
     else:  # canonicalize: kept set + redirects table (S6/S7 analogue)
         from pyspark.sql import functions as F
@@ -117,7 +135,8 @@ def main(argv: list[str] | None = None) -> None:
     n = members.count()
     dt = time.perf_counter() - t0
     print(f"# dedup_job: {n} member rows in {dt:.1f}s", file=sys.stderr)
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,81 @@
+"""S2 input selection + spark-submit CLI smoke (SURVEY.md §2.1 S2/S4).
+
+The reference canonicalizes CLI paths, rejects bad ones and warns on
+duplicates (/root/reference/src/parse.cpp:28-66); the cluster analogue is a
+validated predicate list whose partition-column predicates reach the parquet
+scan as PartitionFilters (metadata-only pruning, no data read for excluded
+partitions).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup_spark.operators.scan import select_input, validate_predicates
+
+
+def test_validate_predicates_dedup_and_strip(capsys):
+    got = validate_predicates(["source = 'src1'", "  source   =  'src1' ", "", "lang='en'"])
+    assert got == ["source = 'src1'", "lang='en'"]
+    assert "duplicate predicate" in capsys.readouterr().err
+
+
+@pytest.mark.parametrize("bad", ["source = 'src1", "f(x", 'lang = "en'])
+def test_validate_predicates_rejects_unbalanced(bad):
+    with pytest.raises(ValueError, match="unbalanced"):
+        validate_predicates([bad])
+
+
+@pytest.fixture(scope="module")
+def partitioned_pages(spark, pages, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages_part") / "pages")
+    pages.write.partitionBy("source").mode("overwrite").parquet(path)
+    return path
+
+
+def test_partition_predicate_prunes_scan(spark, partitioned_pages):
+    df = spark.read.parquet(partitioned_pages)
+    pruned = select_input(df, ["source = 'src1'"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "src1" in plan
+    # pruning is metadata-only: the non-partition data filters list stays empty
+    srcs = [r[0] for r in pruned.select("source").distinct().collect()]
+    assert srcs == ["src1"]
+
+
+def test_format_bytes_reference_parity():
+    """Exact semantics of /root/reference/src/utilities.cpp:203-222: divide
+    while strictly > 1024, fixed two decimals, kibi..pebi prefixes."""
+    from dedup_spark.operators.summarize import format_bytes
+
+    assert format_bytes(0) == "0.00 bytes"
+    assert format_bytes(1024) == "1024.00 bytes"  # ref loop is > 1024
+    assert format_bytes(1025) == "1.00 kibibytes"
+    assert format_bytes(5 * 1024**2) == "5.00 mebibytes"
+    assert format_bytes(int(2.5 * 1024**3)) == "2.50 gibibytes"
+    assert format_bytes(1024**5 + 1) == "1.00 pebibytes"
+
+
+def test_cli_where_end_to_end(spark, partitioned_pages, tmp_path):
+    from jobs.dedup_job import main
+
+    out = str(tmp_path / "out")
+    main(
+        [
+            "--input", partitioned_pages,
+            "--output", out,
+            "--action", "list",
+            "--channels", "exact",
+            "--where", "source = 'src1'",
+        ],
+        spark=spark,
+    )
+    members = spark.read.parquet(os.path.join(out, "members"))
+    assert members.count() > 0
+    urls = members.select("url")
+    full = spark.read.parquet(partitioned_pages)
+    joined = urls.join(full, "url").select("source").distinct().collect()
+    assert [r[0] for r in joined] == ["src1"]
