@@ -345,6 +345,75 @@ def n10_hot_buckets(spark, sf_dir):
     )
 
 
+# S9: streaming ingest (Structured Streaming front door). Writes the pages to
+# a temp dir, drains them through stream_ingest (watermarked url-dedup +
+# empty filter) with an availableNow trigger, and returns the ingested rows.
+# Batch/stream parity IS the oracle: the result must equal the batch S1
+# semantics, which DuckDB expresses directly.
+def s9_stream_ingest(spark, sf_dir):
+    import tempfile
+
+    from dedup_spark.plans.pipeline import register_temp_dir
+    from dedup_spark.streaming.ingest import (
+        read_pages_stream,
+        run_stream_to_parquet,
+        stream_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="dedup_s9_stream_")
+    register_temp_dir(base)  # the returned DataFrame lazily re-reads out/
+    documents_as_pages(spark, sf_dir).write.parquet(f"{base}/src")
+    ingested = stream_ingest(read_pages_stream(spark, f"{base}/src"), CFG)
+    run_stream_to_parquet(ingested, f"{base}/out", f"{base}/ck")
+    return (
+        spark.read.parquet(f"{base}/out")
+        .select(F.col("url").cast("long").alias("doc_id"), "lang", "source")
+    )
+
+
+# M1: multimodal decode round-trip. Documents drive a deterministic fake
+# media table (payload params are pure SQL functions of doc_id/n_chars), the
+# binary payloads are built in one mapInPandas pass, and decode_media (the
+# engine's iterator-of-batches decoder) recovers the typed metadata — which
+# the DuckDB oracle predicts without ever touching a payload. Codecs are the
+# sandbox FakeCodec; the Spark plumbing (schemas, Arrow batches, mapInPandas)
+# is the real deploy path (functions/multimodal.py).
+def m1_media_decode(spark, sf_dir):
+    from dedup_spark.functions.multimodal import decode_media, encode_fake
+
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("m"), F.lpad(F.col("doc_id").cast("string"), 6, "0")).alias(
+            "media_id"
+        ),
+        kinds.alias("kind"),
+        "doc_id",
+        "n_chars",
+    )
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, nch, kind in zip(pdf.doc_id, pdf.n_chars, pdf.kind):
+                a = int(nch) % 496 + 16
+                b = (int(did) * 7) % 496 + 16
+                c = 2 if kind == "audio" else (3 if kind == "image" else int(did) % 27 + 3)
+                payloads.append(encode_fake(kind[:4], a, b, c, seed=int(did)))
+            yield pd.DataFrame(
+                {"media_id": pdf.media_id, "kind": pdf.kind, "payload": payloads}
+            )
+
+    media = docs.mapInPandas(
+        _encode, schema="media_id string, kind string, payload binary"
+    )
+    return decode_media(media)
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
@@ -586,6 +655,8 @@ QUERIES = {
     "n5_simhash": n5_simhash,
     "n10_hot_buckets": n10_hot_buckets,
     "n9_checkpoint_resume": n9_checkpoint_resume,
+    "s9_stream_ingest": s9_stream_ingest,
+    "m1_media_decode": m1_media_decode,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -876,6 +947,31 @@ ORACLE = {
         WHERE round(list_dot_product(a.v, b.v) /
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
               4) >= 0.45
+    """,
+    "s9_stream_ingest": r"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE regexp_replace(text, '\s+', '', 'g') != ''
+    """,
+    "m1_media_decode": """
+        WITH p AS (
+          SELECT doc_id, n_chars,
+                 CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                      ELSE 'video' END AS kind,
+                 n_chars % 496 + 16 AS a,
+                 (doc_id * 7) % 496 + 16 AS b,
+                 CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 2
+                      ELSE doc_id % 27 + 3 END AS c
+          FROM documents
+        )
+        SELECT 'm' || lpad(doc_id::VARCHAR, 6, '0') AS media_id, kind,
+               (CASE WHEN kind IN ('image', 'video') THEN a END)::INT AS width,
+               (CASE WHEN kind IN ('image', 'video') THEN b END)::INT AS height,
+               (CASE WHEN kind = 'image' THEN 3
+                     WHEN kind = 'audio' THEN 2 END)::INT AS channels,
+               (CASE WHEN kind = 'audio' THEN b END)::INT AS duration_ms,
+               (CASE WHEN kind = 'video' THEN c END)::INT AS n_frames,
+               (24 + least(a * b * c % 4096 + 64, 4096))::BIGINT AS payload_bytes
+        FROM p
     """,
     # scale-path twins: identical SQL as their brute-force counterparts — the
     # contract is that the LSH-bucketed plans return the SAME rows
