@@ -15,11 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: exact shingle-Jaccard near-dup pairs + cluster labels on
-    sf0.001 documents (the reference's core question — who duplicates whom)."""
-    from dedup_spark.queries import n8_connected_components
+    """Flagship: the full dedup engine (exact + MinHash-LSH + SimHash ->
+    Jaccard verify -> connected components -> representatives) on sf0.001
+    documents — the reference's core question (who duplicates whom, which
+    copy do we keep), oracle-checked end to end as `pipeline_end_to_end`."""
+    from dedup_spark.queries import pipeline_end_to_end
 
-    return n8_connected_components(spark, "/root/testdata/sf0.001")
+    return pipeline_end_to_end(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
