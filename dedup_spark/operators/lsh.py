@@ -120,11 +120,18 @@ def salted_pairs_from_buckets(
     members = F.col("members")
     n = F.size(members)
 
-    # small buckets: exhaustive, no salt. hot_keys is tiny in practice (one
-    # row per boilerplate bucket) so AQE turns this into a broadcast anti-join
-    # — the big exploded side is not shuffled here.
+    # small buckets: exhaustive, no salt. The semi-join keeps only buckets
+    # with 2..cap members BEFORE the heavy collect_list shuffle — on web
+    # corpora the vast majority of band buckets are singletons (no pair
+    # possible), so this shrinks the expensive aggregation ~10x; the eligible
+    # key list is pair-density-sized and AQE broadcasts it (measured: the
+    # join runs as BroadcastHashJoin at runtime), leaving one heavy shuffle
+    # over only pair-capable rows.
+    eligible = counts.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= F.lit(pair_cap_all))
+    ).select(*_KEYS)
     small = (
-        exploded.join(hot_keys, _KEYS, "left_anti")
+        exploded.join(eligible, _KEYS, "left_semi")
         .groupBy(*_KEYS)
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
         .filter(n >= 2)

@@ -115,11 +115,16 @@ def suffix_repeat_pairs(
     counts = exploded.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
     hot_keys = counts.filter(F.col("_n") > F.lit(cap)).select("fp")
 
-    # small buckets: dedupe by member set (one SA per distinct doc set, not
-    # per fingerprint), then one bucket-level SA per group
+    # small buckets: keep only 2..cap-member buckets before the heavy
+    # collect_list (singleton fingerprints — the vast majority — can never
+    # pair), then dedupe by member set (one SA per distinct doc set, not per
+    # fingerprint)
+    eligible = counts.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= F.lit(cap))
+    ).select("fp")
     id_type = dict(zip(toks.schema.names, toks.schema))["id"].dataType.simpleString()
     small_sets = (
-        exploded.join(hot_keys, "fp", "left_anti")
+        exploded.join(eligible, "fp", "left_semi")
         .groupBy("fp")
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
         .filter(F.size("members") >= 2)
