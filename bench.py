@@ -61,6 +61,8 @@ def main() -> None:
         "f_lang_id",
         "q1_pricing_summary",
         "q3_top_revenue_orders",
+        "s9_stream_ingest",
+        "m1_media_decode",
     ]
 
     timings: dict[str, float] = {}

@@ -227,16 +227,19 @@ def run_dedup(
         "url",
         "nid",
     )
-    docs = spill(
-        with_ids.select(F.col("nid").alias("id"), "text"), config, "docs"
-    )
-    idmap = spill(
-        with_ids.select("nid", "url", "source_rank", "warc_ts", "doc_bytes"),
+    # ONE spill of the id-assigned table; docs/idmap are column-pruned reads
+    # of it (parquet scans each consumer's columns only), saving a second
+    # full pass over the text column
+    combined = spill(
+        with_ids.select(
+            "nid", "url", "text", "source_rank", "warc_ts", "doc_bytes"
+        ),
         config,
-        "idmap",
+        "docs",
     )
-    # both consumers are materialized on disk; drop the cached range shuffle
-    release_ids()
+    release_ids()  # spill materialized; drop the cached range shuffle
+    docs = combined.select(F.col("nid").alias("id"), "text")
+    idmap = combined.select("nid", "url", "source_rank", "warc_ts", "doc_bytes")
 
     # verified pairs are tiny relative to docs; persist so CC's checkpoint and
     # the returned pairs handle never recompute the candidate channels
