@@ -1,67 +1,53 @@
-"""Dense long ids for shuffle-heavy stages (scale optimization).
+"""Compact long ids for shuffle-heavy stages (scale optimization).
 
 Every downstream shuffle — 32-band explode, candidate pairs, CC label
 iterations — keys on the document id. Urls are ~30-80 byte strings; carrying
 them multiplies shuffle volume 4-10x versus an 8-byte long. This operator
-assigns a deterministic dense long id per url with the range-partitioned
-zipWithIndex pattern:
+assigns a unique, ORDER-PRESERVING long id per url in one shuffle:
 
-    repartitionByRange(url) -> per-partition row_number -> + broadcast offsets
+    repartitionByRange(url) -> sortWithinPartitions(url)
+      -> monotonically_increasing_id()
+
+monotonically_increasing_id is (partition_id << 33) + row-in-partition;
+range partitions are ordered by url and rows are sorted within each, so
+nid order == url order — min(nid) over any set selects the row with min(url)
+(the property hub selection and CC labels rely on). Ids are unique but NOT
+dense (gaps between partitions); nothing downstream needs density, and
+dropping it removes the driver-side offset collect, the per-partition
+row_number window (a second, hash shuffle of the full table), the broadcast
+offsets join, and the persist the previous dense implementation required.
 
 No global single-partition window (`Window.orderBy(url)` without partitioning
 would funnel the whole table through one task — the classic scalability trap
-this module exists to avoid). The id assignment is deterministic for a given
-input set: ids follow url sort order.
+this module exists to avoid).
 
 xxhash64(url) is NOT used as the id: at the north rule's 10^12-doc scale,
 64-bit birthday collisions are certain (~n^2/2^65 -> >>1), and a collision
-silently merges two unrelated documents.
+silently merges two unrelated documents. monotonically_increasing_id is
+collision-free by construction (bounded by 2^33 rows per partition —
+enforceable via the partition count).
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def assign_dense_ids(
     df: DataFrame, id_col: str = "url", out_col: str = "nid", partitions: int | None = None
-) -> tuple[DataFrame, Callable[[], None]]:
-    """Add a deterministic dense long `out_col` (0..n-1 in id_col sort order).
+) -> DataFrame:
+    """Add a unique long `out_col` whose order follows id_col sort order.
 
-    One range shuffle + one tiny driver-side offset computation (#partitions
-    rows). Rows keep all original columns.
-
-    Returns (out, release): the range-partitioned intermediate is persisted so
-    the offset pass and the caller's consumption share one shuffle; the caller
-    MUST call release() once the output is materialized (e.g. spilled) or the
-    cached partitions leak for the session lifetime.
+    One range shuffle, no driver action, nothing persisted. Ids are stable
+    within a run (range bounds are fixed at stage submit; task retries
+    recompute identical values) but are partitioning-dependent across runs —
+    every externally visible output keys on the url, so results are
+    partition-count invariant (SURVEY.md §2.8 #2) regardless.
     """
     n_parts = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = df.repartitionByRange(int(n_parts), F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    return (
+        df.repartitionByRange(int(n_parts), F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn(out_col, F.monotonically_increasing_id())
     )
-    ranged = ranged.persist()
-    counts = (
-        ranged.groupBy("_pid").count().orderBy("_pid").collect()
-    )  # <= n_parts rows on the driver: safe at any data scale
-    offsets = {}
-    acc = 0
-    for row in counts:
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    offset_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
-        )
-    )
-    w = Window.partitionBy("_pid").orderBy(id_col)
-    out = (
-        ranged.withColumn("_rn", F.row_number().over(w))
-        .join(offset_df, "_pid")
-        .withColumn(out_col, (F.col("_offset") + F.col("_rn") - 1).cast("long"))
-        .drop("_pid", "_rn", "_offset")
-    )
-    return out, lambda: ranged.unpersist()

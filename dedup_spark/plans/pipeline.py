@@ -210,11 +210,11 @@ def run_dedup(
         channels = channels + ("suffix",)
     ingested = ingest_pages(pages, config)
 
-    # dense long ids for every shuffle-heavy stage (operators/ids.py): band
+    # compact long ids for every shuffle-heavy stage (operators/ids.py): band
     # explode x32, pair gen, and CC iterations all key on the id — an 8-byte
     # long instead of a 30-80 byte url string cuts shuffle volume 4-10x.
     # nid follows url sort order, so min(nid) and min(url) pick the same hub.
-    with_ids, release_ids = assign_dense_ids(
+    with_ids = assign_dense_ids(
         ingested.select(
             "url",
             "text",
@@ -229,7 +229,8 @@ def run_dedup(
     )
     # ONE spill of the id-assigned table; docs/idmap are column-pruned reads
     # of it (parquet scans each consumer's columns only), saving a second
-    # full pass over the text column
+    # full pass over the text column. The spill also pins the (run-stable)
+    # nid assignment for every downstream consumer.
     combined = spill(
         with_ids.select(
             "nid", "url", "text", "source_rank", "warc_ts", "doc_bytes"
@@ -237,7 +238,6 @@ def run_dedup(
         config,
         "docs",
     )
-    release_ids()  # spill materialized; drop the cached range shuffle
     docs = combined.select(F.col("nid").alias("id"), "text")
     idmap = combined.select("nid", "url", "source_rank", "warc_ts", "doc_bytes")
 
