@@ -158,17 +158,31 @@ def candidate_and_verified_pairs(
         feats = spill(feats.filter(F.size("shingle_hashes") > 0), config, "feats")
         shingles = feats.select("id", "shingle_hashes")
 
+    near_cands = []
     if "minhash" in channels:
         # band keys precomputed inside the fused UDF (numpy) — the JVM
         # xxhash64(slice(...)) transform was interpreted per band and flat
         # across core counts
         banded = feats.select("id", F.col("bands").alias("band_keys"))
-        cand = lsh_candidate_pairs(banded, config, channel="minhash")
-        all_pairs.append(verify_pairs_jaccard(cand, shingles, config))
-
+        near_cands.append(lsh_candidate_pairs(banded, config, channel="minhash"))
     if "simhash" in channels:
         sims = feats.select("id", "simhash")
-        cand = simhash_candidate_pairs(sims, config)
+        near_cands.append(simhash_candidate_pairs(sims, config))
+    if near_cands:
+        # dedupe candidates across channels (keep highest-priority
+        # provenance) BEFORE verification, so the expensive join against the
+        # wide shingle arrays runs ONCE over the union instead of once per
+        # channel
+        cand = near_cands[0]
+        for c in near_cands[1:]:
+            cand = cand.unionByName(c)
+        if len(near_cands) > 1:
+            prio = F.when(F.col("channel") == "minhash", 1).otherwise(2)
+            cand = (
+                cand.withColumn("_p", prio)
+                .groupBy("id_a", "id_b")
+                .agg(F.min_by("channel", "_p").alias("channel"))
+            )
         all_pairs.append(verify_pairs_jaccard(cand, shingles, config))
 
     if "suffix" in channels:
