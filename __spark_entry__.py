@@ -19,9 +19,9 @@ def entry(spark: SparkSession) -> DataFrame:
     Jaccard verify -> connected components -> representatives) on sf0.001
     documents — the reference's core question (who duplicates whom, which
     copy do we keep), oracle-checked end to end as `pipeline_end_to_end`."""
-    from dedup_spark.queries import pipeline_end_to_end
+    from dedup_spark.queries import QUERIES
 
-    return pipeline_end_to_end(spark, "/root/testdata/sf0.001")
+    return QUERIES["pipeline_end_to_end"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

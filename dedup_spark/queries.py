@@ -634,6 +634,28 @@ def q3_top_revenue_orders(spark, sf_dir, n: int = 10):
 
 
 # --------------------------------------------------------------------------
+def _tuned(fn):
+    """Apply engine session tuning when a query runs under a session we did
+    not build (the driver harness constructs its own SparkSession).
+
+    JVM (not ICU) case mapping for UTF8_BINARY: the first interpreted
+    lower() otherwise triggers CollationAwareUTF8String.<clinit> — a
+    single-threaded ICU table build measured at 45-100 s on this host with
+    every other task thread blocked on the class-init monitor (identical
+    results on ASCII webtext; build_session sets the same flag)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        try:
+            spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+        except Exception:
+            pass  # immutable conf on some future version: keep the query alive
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 QUERIES = {
     "s1_scan_ingest": s1_scan_ingest,
     "g2_prune_candidates": g2_prune_candidates,
@@ -668,6 +690,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
 }
+QUERIES = {name: _tuned(fn) for name, fn in QUERIES.items()}
 
 # DuckDB-dialect SQL producing identical (column name, value) results.
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"

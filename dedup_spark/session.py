@@ -43,6 +43,14 @@ def build_session(
             str(config.arrow_max_records_per_batch),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # JVM (not ICU) case mapping for UTF8_BINARY lower()/upper().
+        # CollationAwareUTF8String.<clinit> builds ICU title-case tables the
+        # first time an interpreted lower() runs (our token-hash stage uses a
+        # higher-order lambda, which is always interpreted): measured 45-100 s
+        # single-threaded on this host with all other task threads blocked on
+        # the class-init monitor. JVM simple case mapping is identical on
+        # ASCII webtext and matches the DuckDB oracle's lower().
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
