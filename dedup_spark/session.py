@@ -54,6 +54,15 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # CPU-heavy stages (signature UDF, shingle-array verify join) read
+        # their input back from parquet spill-checkpoints; the default 128 MB
+        # split target gives ~1 split/file and stages of 5-6 tasks whose last
+        # wave idles most cores (measured: feats stage 85 s with 5 tasks on 4
+        # cores). 32 MB splits + 1 MB open cost keep waves balanced; on a
+        # cluster this is standard split sizing for compute-bound (not
+        # scan-bound) pipelines.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
