@@ -16,7 +16,12 @@ Actions mirror the reference's sink selector
 (/root/reference/src/utilities.h:10-14 Action enum): `list` writes the full
 member table, `summarize` prints the S5 aggregate, `canonicalize` writes the
 kept-set plus a redirects(url, canonical_url) table — the Iceberg-era analogue
-of delete/hardlink sinks (SURVEY.md §2.1 S4-S7).
+of delete/hardlink sinks (SURVEY.md §2.1 S4-S7). `plan` + `apply` are the
+batch two-step analogue of the reference's interactive prompt sink (S8):
+`plan` writes a reviewable keeper table (keep pre-filled by the O2 policy,
+editable), `apply` validates exactly-one-keeper-per-cluster (the
+get_valid_number re-prompt loop, batchified as reject-with-error-table) and
+emits kept/redirects from the plan's decisions without recomputing.
 """
 
 from __future__ import annotations
@@ -46,7 +51,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--checkpoint-dir", default=None,
                     help="enable per-partition checkpoint/resume under this dir")
     ap.add_argument("--action", default="summarize",
-                    choices=["list", "summarize", "canonicalize"])
+                    choices=["list", "summarize", "canonicalize", "plan",
+                             "apply"])
+    ap.add_argument("--plan", default=None,
+                    help="plan table path for --action apply (written by "
+                         "--action plan, optionally edited)")
     ap.add_argument("--channels", default="exact,minhash,simhash")
     ap.add_argument("--partition-col", default="source")
     ap.add_argument("--master", default=None)
@@ -70,6 +79,39 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     if owns_session:
         spark = build_session("dedup_job", master=args.master, config=config)
         spark.sparkContext.setLogLevel("WARN")
+
+    if args.action == "apply":
+        # S8 batch analogue, step 2: no pipeline run — the (possibly
+        # human-edited) plan written by --action plan is the decision of
+        # record. Validation replaces the reference's interactive re-prompt
+        # loop: an invalid plan is rejected with a reviewable error table.
+        from dedup_spark.operators.representatives import (
+            apply_keep_plan,
+            validate_keep_plan,
+        )
+
+        if not args.plan:
+            ap.error("--action apply requires --plan")
+        plan = spark.read.parquet(args.plan)
+        bad = validate_keep_plan(plan)
+        bad_rows = bad.limit(20).collect()
+        if bad_rows:
+            for r in bad_rows:
+                print(
+                    f"# invalid plan: cluster {r['cluster_id']} keeps "
+                    f"{r['n_kept']} members (must keep exactly 1)",
+                    file=sys.stderr,
+                )
+            sys.exit(2)
+        kept, redirects = apply_keep_plan(plan)
+        cat = Catalog(spark, args.output)
+        cat.write(kept, "kept")
+        cat.write(redirects, "redirects")
+        n = cat.read("redirects").count()
+        print(f"# dedup_job: applied plan, {n} redirects", file=sys.stderr)
+        if owns_session:
+            spark.stop()
+        return
 
     if args.synthetic:
         from dedup_spark.testdata import corpus_to_spark, make_corpus
@@ -118,6 +160,24 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 file=sys.stderr,
             )
         cat.write(s, "summary")
+    elif args.action == "plan":
+        # S8 batch analogue, step 1: write a reviewable keeper plan —
+        # (cluster_id, url, keep, source_rank, warc_ts, doc_bytes) with
+        # keep pre-filled by the O2 keep policy. A human (or policy job)
+        # may flip `keep` bits before `apply`; this replaces the
+        # reference's per-cluster interactive selection
+        # (/root/reference/src/deal_with_duplicates.cpp:104-162) with a
+        # reviewed-artifact two-step that works at batch scale.
+        from pyspark.sql import functions as F
+
+        plan = members.select(
+            "cluster_id",
+            "url",
+            F.col("is_representative").alias("keep"),
+            *[c for c in ("source_rank", "warc_ts", "doc_bytes")
+              if c in members.columns],
+        )
+        cat.write(plan, "plan")
     else:  # canonicalize: kept set + redirects table (S6/S7 analogue)
         from pyspark.sql import functions as F
 

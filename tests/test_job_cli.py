@@ -79,3 +79,60 @@ def test_cli_where_end_to_end(spark, partitioned_pages, tmp_path):
     full = spark.read.parquet(partitioned_pages)
     joined = urls.join(full, "url").select("source").distinct().collect()
     assert [r[0] for r in joined] == ["src1"]
+
+
+def test_cli_plan_apply_roundtrip(spark, partitioned_pages, tmp_path):
+    """S8 batch analogue: plan -> (edit) -> apply honors the edited keeper."""
+    from jobs.dedup_job import main
+
+    out = str(tmp_path / "plan_out")
+    main(
+        ["--input", partitioned_pages, "--output", out,
+         "--action", "plan", "--channels", "exact"],
+        spark=spark,
+    )
+    plan_path = os.path.join(out, "plan")
+    plan = spark.read.parquet(plan_path)
+    assert set(["cluster_id", "url", "keep"]) <= set(plan.columns)
+    per = plan.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("k")
+    )
+    assert per.filter("k != 1").count() == 0
+
+    # flip the keeper in one cluster (the human-edit step)
+    pdf = plan.toPandas().sort_values(["cluster_id", "url"]).reset_index(drop=True)
+    cid = pdf.cluster_id.iloc[0]
+    grp = pdf[pdf.cluster_id == cid]
+    pdf.loc[grp.index, "keep"] = ~grp.keep.values
+    edited_path = str(tmp_path / "edited_plan")
+    spark.createDataFrame(pdf, schema=plan.schema).write.parquet(edited_path)
+
+    out2 = str(tmp_path / "apply_out")
+    main(
+        ["--output", out2, "--action", "apply", "--plan", edited_path],
+        spark=spark,
+    )
+    redirects = spark.read.parquet(os.path.join(out2, "redirects"))
+    kept = spark.read.parquet(os.path.join(out2, "kept"))
+    # the flipped cluster's new keeper is kept and its old keeper redirects
+    new_keeper = grp[~grp.keep].url.iloc[0]  # was False, now True
+    old_keeper = grp[grp.keep].url.iloc[0]
+    assert kept.filter(F.col("url") == new_keeper).count() == 1
+    assert redirects.filter(
+        (F.col("url") == old_keeper) & (F.col("canonical_url") == new_keeper)
+    ).count() == 1
+
+
+def test_cli_apply_rejects_invalid_plan(spark, tmp_path):
+    from jobs.dedup_job import main
+
+    bad = spark.createDataFrame(
+        [("c1", "u1", True), ("c1", "u2", True), ("c2", "u3", False)],
+        ["cluster_id", "url", "keep"],
+    )
+    bad_path = str(tmp_path / "bad_plan")
+    bad.write.parquet(bad_path)
+    with pytest.raises(SystemExit) as ei:
+        main(["--output", str(tmp_path / "o"), "--action", "apply",
+              "--plan", bad_path], spark=spark)
+    assert ei.value.code == 2
