@@ -234,16 +234,24 @@ def run_dedup_checkpointed(
     # pass a pre-built CheckpointedRun to inspect run.replayed/run.computed
     # afterwards (replay-vs-recompute evidence)
 
-    parts = [r[0] for r in pages.select(partition_col).distinct().collect()]
     # content-based, as the module docstring promises: include the text so a
     # document edited in place under the same (url, warc_ts) recomputes its
-    # partition instead of replaying stale signatures
-    fps = {
-        p: lineage_fingerprint(
-            pages.filter(F.col(partition_col) == p), ["url", "warc_ts", "text"]
+    # partition instead of replaying stale signatures. ALL partition
+    # fingerprints come from ONE groupBy scan (same n=/h= formula as
+    # lineage_fingerprint, so existing markers stay valid) — the per-partition
+    # filtered-agg alternative is P full scans of the input when the source
+    # table isn't physically partitioned on partition_col, and P jobs even
+    # when it is; at the north rule's scale P is O(1000).
+    fp_rows = (
+        pages.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("url", "warc_ts", "text")).alias("h"),
         )
-        for p in sorted(parts)
-    }
+        .collect()
+    )
+    parts = [r[0] for r in fp_rows]
+    fps = {r[0]: f"n={r['n']},h={r['h']}" for r in fp_rows}
 
     prepared = run.partitioned_stage(
         "prepared",
