@@ -180,25 +180,37 @@ def ann_topk(
     sharing any band bucket with the query. Shorter bands (r=4) trade
     precision of bucketing for recall of candidates; exact cosine rescoring
     restores ranking quality. Scale path: no cross join anywhere — two
-    explodes and an equi-join on (band_idx, band_key).
+    explodes and an equi-join on (band_idx, band_key). The band join and the
+    per-(query, id) dedup move only 8-byte ids (a 128-dim embedding is ~1 KB:
+    carrying vectors through the b-way band explode would shuffle every
+    vector b times); the deduped candidate list then fetches both vectors
+    back via two equi-joins for exact rescoring.
 
     ``round_cosine`` rounds the score BEFORE ranking (ties then break on id)
     so rankings are comparable against oracles that sort rounded values.
     """
     udf = hyperplane_band_udf(dim, bands, rows_per_band, config.minhash_seed)
     vb = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("id"),
         F.posexplode(udf(vec_col)).alias("band_idx", "band_key"),
     )
     qb = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col("qv"),
+        F.col(query_id_col).alias("query_id"),
         F.posexplode(udf("qv")).alias("band_idx", "band_key"),
     )
     cand = (
         qb.join(vb, ["band_idx", "band_key"])
         .filter(F.col("id") != F.col("query_id"))
-        .select("query_id", "qv", "id", "v")
+        .select("query_id", "id")
         .dropDuplicates(["query_id", "id"])
+        .join(
+            queries.select(F.col(query_id_col).alias("query_id"), "qv"),
+            "query_id",
+        )
+        .join(
+            vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            "id",
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id").asc()
