@@ -8,13 +8,16 @@ content*, which both verifies and splits hash collisions exactly
 (/root/reference/src/find_duplicates_map.cpp:43-66: clusters are content-
 equality classes, never hash classes).
 
-Scale shape: pass 1 shuffles only (hash, id) — 16 bytes/row; pass 2 shuffles
-the verification key only for rows whose hash bucket has >= 2 occupants,
-which on web corpora is a small fraction of input. The verification key is
-the full text by default (the literal content-equality contract; two texts
-with equal xxhash64 land in the same bucket but different groups) or
-(length, sha256) under config.exact_verify="sha256" — 40 bytes/row for the
-100 TB shuffle budget, identical grouping absent a SHA-256 collision.
+Scale shape: ONE full-table shuffle, keyed on (content hash, verification
+key). Equal verification key implies equal text implies equal hash, so
+grouping by the pair never splits a content class, and the hash-prune +
+content-verify steps both run inside that single exchange (the previous
+two-step plan shuffled every row on the hash and then re-shuffled survivors
+on the verification key). Row width is what the verify mode chooses: the
+full text by default (the literal content-equality contract; two texts with
+equal xxhash64 land in the same bucket but different groups) or (length,
+sha256) under config.exact_verify="sha256" — 48 bytes/row for the 100 TB
+shuffle budget, identical grouping absent a SHA-256 collision.
 """
 
 from __future__ import annotations
@@ -70,12 +73,16 @@ def exact_dup_members(
         verify_key.alias("_vkey"),
         F.xxhash64(text_col).alias("text_hash"),
     )
-    survivors = prune_non_candidates(hashed, "text_hash")
-    w = Window.partitionBy("_vkey")
+    # ONE shuffle: equal _vkey implies equal text implies equal text_hash,
+    # so partitioning on the pair never splits a content class, and the
+    # hash-prune (G2) + exact verify/split (V1) both resolve inside this
+    # exchange — the count filter runs on the exact key, preserving the lazy
+    # two-stage semantics without the second survivor shuffle
+    w = Window.partitionBy("text_hash", "_vkey")
     members = (
-        survivors.withColumn("_n", F.count(F.lit(1)).over(w))
-        .withColumn("exact_cluster_id", F.min("id").over(w))
+        hashed.withColumn("_n", F.count(F.lit(1)).over(w))
         .filter(F.col("_n") >= 2)
+        .withColumn("exact_cluster_id", F.min("id").over(w))
         .select("id", "text_hash", "exact_cluster_id")
     )
     return members
