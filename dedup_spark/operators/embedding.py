@@ -122,6 +122,12 @@ def cosine_near_dup_pairs(
     exploded = banded.select(
         "id", F.posexplode("band_keys").alias("band_idx", "band_key")
     )
+    # spill the (id, band) rows once: the salted generator reads its input
+    # 3x (bucket counts + two semi-joins); without materialization each read
+    # re-runs the hyperplane-sketch UDF over every vector
+    from dedup_spark.plans.pipeline import spill
+
+    exploded = spill(exploded, config, "emb_bands")
     cand = salted_pairs_from_buckets(
         exploded, channel="embedding", nsalt=config.bucket_salts
     )

@@ -179,8 +179,16 @@ def n2_shingle_stats(spark, sf_dir):
 # off interpreted Catalyst lambdas.
 def n7_jaccard_pairs(spark, sf_dir, threshold: float = 0.2):
     from dedup_spark.operators.lsh import salted_pairs_from_buckets
+    from dedup_spark.plans.pipeline import spill
 
-    sh = _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes")
+    # spill once: the salted generator reads its input 3x (counts + two
+    # semi-joins) and the verify joins read it twice more — without the
+    # materialization each consumer re-runs the Arrow signature UDF
+    sh = spill(
+        _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes"),
+        CFG,
+        "n7_sh",
+    )
     ex = sh.select(
         F.col("doc_id").alias("id"),
         F.lit(0).alias("band_idx"),
@@ -266,8 +274,15 @@ def n3_minhash_signatures(spark, sf_dir):
 
 # N4: LSH bucket candidate pairs (rows-only; probabilistic channel)
 def n4_lsh_candidate_pairs(spark, sf_dir):
-    banded = _doc_features(spark, sf_dir).select(
-        F.col("doc_id").alias("id"), F.col("bands").alias("band_keys")
+    from dedup_spark.plans.pipeline import spill
+
+    # spill: the salted generator consumes the banded table 3x (see n7)
+    banded = spill(
+        _doc_features(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), F.col("bands").alias("band_keys")
+        ),
+        CFG,
+        "n4_bands",
     )
     return lsh_candidate_pairs(banded, CFG).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
