@@ -71,6 +71,7 @@ def main() -> None:
         "n8_connected_components",
         "emb_cosine_topk",
         "emb_ann_topk",
+        "emb_ivf_topk",
         "f_token_count",
         "f_quality",
         "f_lang_id",

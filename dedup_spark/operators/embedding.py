@@ -11,6 +11,12 @@ Two scale paths over an `array<float>` embedding column:
    score candidates with exact cosine inside each bucket, window top-k.
    `brute_force_topk` is the exact baseline the recall tests compare against
    (the only honest oracle for ANN).
+3. `ivf_topk` — IVF (inverted-file) ANN: a spherical-k-means coarse quantizer
+   (`train_centroids`, sample-trained like FAISS) assigns every vector to ONE
+   cell; queries probe their nprobe nearest cells and rescore exactly. The
+   one-cell-per-vector layout moves the corpus once keyed by cell (vs b band
+   copies under LSH) — the preferred shuffle shape for top-k retrieval;
+   full probe (nprobe = n_centroids) is exactly brute force.
 
 At 100 TB the bucketed path shuffles each vector b times (b band keys) and
 scores only within-bucket collisions — versus the brute-force cross join that
@@ -164,6 +170,124 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def train_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    id_col: str = "id",
+    vec_col: str = "v",
+    sample_size: int | None = None,
+    seed: int = 42,
+    iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF, trained on a bounded
+    deterministic sample. Returns a unit-norm (n_centroids, dim) ndarray.
+
+    IVF quantizers are trained on a sample by design (FAISS trains on
+    ~max(10k, 50k_centroids) vectors regardless of corpus size), so the
+    driver-side numpy Lloyd loop is O(sample * k * iters) — independent of
+    the corpus. The sample is the first `sample_size` vectors by id
+    (deterministic); on a corpus whose id-prefix is biased, pre-filter with a
+    hash sample (pmod(xxhash64(id), m) == 0) before calling. Ties and empty
+    cells resolve deterministically (stable argmax; an emptied cell keeps its
+    previous centroid)."""
+    if sample_size is None:
+        sample_size = max(2048, 32 * n_centroids)
+    rows = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    C[c] = m / n
+    return C
+
+
+def _centroid_udfs(centroids: np.ndarray, nprobe: int):
+    """(assign, probe) pandas UDFs over a broadcast-by-closure centroid
+    matrix: assign -> nearest cell id; probe -> the nprobe nearest cell ids.
+    Cosine argmax needs no input normalization (positive scaling preserves
+    order); centroid rows are unit-norm."""
+    from pyspark.sql.types import IntegerType
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    npr = min(nprobe, len(C))
+
+    @F.pandas_udf(IntegerType())
+    def _assign(emb: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(emb: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        scores = X @ C.T
+        # stable argsort on -score: ties break on cell id, deterministic
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :npr].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _assign, _probe
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int,
+    id_col: str = "id",
+    vec_col: str = "v",
+    query_id_col: str = "query_id",
+    round_cosine: int | None = None,
+) -> DataFrame:
+    """IVF ANN: coarse-quantizer cells + nprobe probing + exact rescoring.
+
+    Every vector is assigned to exactly ONE cell (vs b band copies under
+    hyperplane-LSH banding — the better shuffle shape for top-k retrieval:
+    the corpus moves once, keyed by cell), each query probes its `nprobe`
+    nearest cells, and exact cosine + a per-query window pick the top k.
+    `nprobe == len(centroids)` probes every cell, so each vector is scored
+    exactly once and the result equals brute force — the oracle-matched
+    contract mode; recall at small nprobe is the tested scale tradeoff.
+    Cells are disjoint so no dedup step is needed; a skewed (hot) cell is an
+    AQE-splittable equi-join partition, not a window.
+    """
+    assign, probe = _centroid_udfs(centroids, nprobe)
+    vb = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        assign(vec_col).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col("qv"),
+        F.explode(probe("qv")).alias("cell"),
+    )
+    cand = qb.join(vb, "cell").filter(F.col("id") != F.col("query_id"))
+    score = _cosine(F.col("qv"), F.col("v"))
+    if round_cosine is not None:
+        score = F.round(score, round_cosine)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        cand.withColumn("cosine", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "cosine")
     )
 
 

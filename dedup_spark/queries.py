@@ -517,6 +517,31 @@ def emb_near_dup_lsh(spark, sf_dir, threshold: float = 0.45):
 # even at cosine 0.3) — candidate pruning is inherently impossible that far
 # out on the sphere. Selectivity of the r>=4 production banding on clustered
 # corpora is evidenced separately in tests/test_embedding.py.
+# Embedding ANN top-k via IVF: coarse-quantizer cells + probing. The contract
+# run probes EVERY cell (nprobe = n_centroids), so each vector is scored
+# exactly once and the result equals the brute-force oracle pair-for-pair
+# (same rounding and tie-break) — the driver hash-checks the IVF plumbing
+# end-to-end; recall at small nprobe (the production tradeoff) is evidenced
+# in tests/test_embedding.py.
+def emb_ivf_topk(spark, sf_dir, n_queries: int = 20, k: int = 5,
+                 n_centroids: int = 16):
+    from dedup_spark.operators.embedding import ivf_topk, train_centroids
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = train_centroids(
+        emb, n_centroids, id_col="vec_id", vec_col="v", seed=CFG.minhash_seed
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return ivf_topk(
+        emb, q, cents, k=k, nprobe=n_centroids, id_col="vec_id",
+        round_cosine=4,
+    ).select("query_id", "neighbor_id", "rank", "cosine")
+
+
 def emb_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
     from dedup_spark.operators.embedding import ann_topk
 
@@ -699,6 +724,7 @@ QUERIES = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_ann_topk": emb_ann_topk,
+    "emb_ivf_topk": emb_ivf_topk,
     "q_event_rollup": q_event_rollup,
     "q_event_sessions": q_event_sessions,
     "q_region_revenue": q_region_revenue,
@@ -798,6 +824,24 @@ def _pipeline_oracle_sql(extra_select: str = "") -> str:
         FROM labels l JOIN documents d ON d.doc_id = l.doc_id
     """
 
+
+_ANN_TOPK_ORACLE = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round(list_dot_product(q.v, e.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
+                 4) AS cosine
+          FROM e q JOIN e ON e.vec_id != q.vec_id
+          WHERE q.vec_id < 20
+        )
+        SELECT query_id, neighbor_id, rank, cosine FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
 
 ORACLE = {
     "s1_scan_ingest": r"""
@@ -1024,23 +1068,11 @@ ORACLE = {
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
               4) >= 0.45
     """,
-    "emb_ann_topk": """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        scored AS (
-          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                 round(list_dot_product(q.v, e.v) /
-                       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))),
-                 4) AS cosine
-          FROM e q JOIN e ON e.vec_id != q.vec_id
-          WHERE q.vec_id < 20
-        )
-        SELECT query_id, neighbor_id, rank, cosine FROM (
-          SELECT query_id, neighbor_id, cosine,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
-          FROM scored
-        ) WHERE rank <= 5
-    """,
+    # the exact brute-force top-k: the oracle for BOTH approximate paths
+    # (emb_ann_topk's recall-first banding and emb_ivf_topk's full probe both
+    # reduce to exact search on the contract corpus by construction)
+    "emb_ann_topk": _ANN_TOPK_ORACLE,
+    "emb_ivf_topk": _ANN_TOPK_ORACLE,
     "q_event_rollup": """
         SELECT event_type, count(*) AS n_events, count(user_id) AS n_with_user,
                round(avg(value), 4) AS avg_value, round(sum(value), 4) AS sum_value

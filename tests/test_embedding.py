@@ -106,3 +106,51 @@ def test_ann_exact_cosines_match_brute_force(vectors):
     am = {(r.query_id, r.neighbor_id): r.cosine for r in approx.itertuples()}
     for key in em.keys() & am.keys():
         assert abs(em[key] - am[key]) < 1e-9
+
+
+def test_ivf_full_probe_equals_brute_force(vectors):
+    """nprobe == n_centroids scores every vector exactly once -> the IVF
+    result must equal exact search row for row (same tie-breaks)."""
+    from dedup_spark.operators.embedding import ivf_topk, train_centroids
+
+    df, _ = vectors
+    v = df.select("id", F.col("embedding").alias("v"))
+    q = df.filter(F.col("id").startswith("v")).limit(10).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cents = train_centroids(v, n_centroids=8, id_col="id", vec_col="v", seed=7)
+    exact = brute_force_topk(v, q, k=5).toPandas()
+    ivf = ivf_topk(v, q, cents, k=5, nprobe=8).toPandas()
+    e = sorted(map(tuple, exact[["query_id", "neighbor_id", "rank"]].values))
+    a = sorted(map(tuple, ivf[["query_id", "neighbor_id", "rank"]].values))
+    assert e == a
+
+
+def test_ivf_recall_at_small_nprobe(vectors):
+    """Planted near-dups (cosine ~0.99) land in their base vector's cell, so
+    even probing 2 of 8 cells finds them as the top-1 neighbor."""
+    from dedup_spark.operators.embedding import ivf_topk, train_centroids
+
+    df, _ = vectors
+    v = df.select("id", F.col("embedding").alias("v"))
+    q = df.filter(F.col("id").startswith("v") & (F.col("id") < "v008")).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cents = train_centroids(v, n_centroids=8, id_col="id", vec_col="v", seed=7)
+    top1 = ivf_topk(v, q, cents, k=1, nprobe=2).toPandas()
+    hits = sum(
+        1 for r in top1.itertuples()
+        if r.neighbor_id == "d" + r.query_id[1:]
+    )
+    assert hits >= 6, f"IVF top-1 planted recall {hits}/8"
+
+
+def test_train_centroids_deterministic_unit_norm(vectors):
+    from dedup_spark.operators.embedding import train_centroids
+
+    df, _ = vectors
+    v = df.select("id", F.col("embedding").alias("v"))
+    c1 = train_centroids(v, n_centroids=8, id_col="id", vec_col="v", seed=7)
+    c2 = train_centroids(v, n_centroids=8, id_col="id", vec_col="v", seed=7)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
