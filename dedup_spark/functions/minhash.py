@@ -30,8 +30,6 @@ from pyspark.sql.types import ArrayType, LongType
 
 from dedup_spark.config import DedupConfig, MERSENNE_31
 
-_CHUNK_TARGET = 1 << 16  # flattened shingles per numpy chunk (~64 MB peak)
-
 
 def _permutation_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)

@@ -22,8 +22,6 @@ from pyspark.sql.types import LongType
 
 from dedup_spark.config import DedupConfig
 
-_CHUNK_TARGET = 1 << 16
-
 
 def simhash_from_flat(flat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """(n_docs,) int64 SimHash-64 from flattened shingle hashes + lengths.
