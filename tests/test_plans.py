@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around, locked in as tests so later changes cannot silently regress them.
+
+Each test captures `df.explain("formatted")` output and asserts a structural
+property of the plan — these are the things a 100 TB run lives or dies by:
+one exchange where one suffices, column pruning + filter pushdown reaching
+the parquet scan, broadcast joins for small dims, and no cartesian product
+anywhere on a scale path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_exact_members_single_exchange(spark, config):
+    """Exact dedup resolves hash-prune + content verify/split in ONE shuffle
+    (operators/exact.py): both Window nodes share the (hash, vkey) exchange."""
+    from dedup_spark.operators.exact import exact_dup_members
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"text {i % 3}") for i in range(12)], ["url", "text"]
+    )
+    plan = plan_of(exact_dup_members(df, config=config))
+    # formatted explain lists each node once in the tree and once in the
+    # detail section; count the "(n) NodeName" detail entries
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+
+
+def test_documents_scan_prunes_columns_and_pushes_filters(spark):
+    """A 2-column projection + id predicate must reach the parquet scan as
+    ReadSchema pruning + PushedFilters — not a full-row scan."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 10)
+        .select("doc_id", "lang")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema and "n_chars" not in read_schema, read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    """Small dimension tables broadcast; the fact table never shuffles on the
+    join key (q_region_revenue: region/nation/customer joins)."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q_region_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["n7_jaccard_pairs", "emb_near_dup_lsh", "emb_ann_topk", "emb_ivf_topk"]
+)
+def test_scale_paths_have_no_cartesian_product(spark, name):
+    """Every near-dup / ANN scale path is banded or celled equi-join work;
+    a cartesian or nested-loop join anywhere means the plan is quadratic."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pipeline_pairs_have_no_cartesian_product(spark, pages, config):
+    """The engine's own candidate+verify plan (all channels) is equi-join
+    only — the property that makes run_dedup survive a 100x scale-up."""
+    from dedup_spark.operators.ids import assign_dense_ids
+    from dedup_spark.plans.pipeline import candidate_and_verified_pairs
+
+    docs = assign_dense_ids(pages.select("url", "text"), "url").select(
+        F.col("nid").alias("id"), "text"
+    )
+    plan = plan_of(
+        candidate_and_verified_pairs(docs, config, ("exact", "minhash", "simhash"))
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
