@@ -1,0 +1,204 @@
+"""Training-data curation operators: quality filtering, incremental dedup,
+eval-set decontamination, and sequence packing.
+
+These extend the reference's dedup surface (SURVEY.md §2) with the operations
+a large-scale LLM training-data pipeline runs between ingest and tokenization.
+All four are pure DataFrame compositions — no Python in the hot path except
+the already-fused Arrow signature stage the callers feed in.
+
+Scale notes (100 TB):
+- quality_filter: two hash aggregations, both with map-side partial
+  aggregation; the (doc, token) key is high-cardinality but each group is
+  tiny, so no skew. No window over the whole corpus.
+- incremental_near_dups: asymmetric delta-vs-base join on 8-byte shingle
+  hashes. Exhaustive per shared shingle — the oracle-equality regime; at
+  web scale, boilerplate shingles must first be dropped by document
+  frequency (max_shingle_df), the standard curation trade (recall loss is
+  explicit, not a silent cap).
+- decontaminate: the eval shingle set is broadcast (eval benchmarks are
+  MBs, not TBs) — the 100 TB train side never shuffles except the final
+  per-doc count, which combines map-side.
+- pack_tokens: the running-offset window partitions by shard, so packing
+  parallelizes across shards and never funnels the corpus through one
+  partition; within-shard order is the semantic contract of packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dedup_spark.functions.text import _STOPWORDS, tokens
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_top_token_frac: float = 0.125,
+    min_stopword_ratio: float = 0.01,
+) -> DataFrame:
+    """Gopher-style repetition/quality gate per document.
+
+    Features: n_tokens, top_token_frac (most frequent token's share — the
+    repetition signal), stopword_ratio (natural-language signal). keep is
+    the AND of the three thresholds, decided on the unrounded ratios; the
+    reported ratio columns are rounded to 4 places for the oracle compare.
+
+    Distributed as explode -> count per (doc, token) -> per-doc aggregate:
+    both groupBys combine map-side, and no per-doc data structure ever
+    exceeds one token's count. Docs with no tokens survive via the left
+    join with n_tokens = 0 (always dropped by min_tokens).
+    """
+    stops = sorted(_STOPWORDS["en"])
+    toks = docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
+    per_tok = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = per_tok.groupBy("_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(
+            F.when(F.col("tok").isin(stops), F.col("cnt")).otherwise(F.lit(0))
+        ).alias("n_stop"),
+    )
+    top_frac = F.coalesce(
+        F.col("top_cnt").cast("double") / F.col("n_tokens"), F.lit(0.0)
+    )
+    stop_ratio = F.coalesce(
+        F.col("n_stop").cast("double") / F.col("n_tokens"), F.lit(0.0)
+    )
+    n_tokens = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            n_tokens.alias("n_tokens"),
+            F.round(top_frac, 4).alias("top_token_frac"),
+            F.round(stop_ratio, 4).alias("stopword_ratio"),
+            (
+                (n_tokens >= F.lit(min_tokens))
+                & (top_frac <= F.lit(max_top_token_frac))
+                & (stop_ratio >= F.lit(min_stopword_ratio))
+            ).alias("keep"),
+        )
+    )
+
+
+def incremental_near_dups(
+    delta: DataFrame,
+    base: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "id",
+    sh_col: str = "shingle_hashes",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Incremental dedup: match a new batch (delta) against an existing
+    corpus (base) by shingle-set Jaccard >= threshold.
+
+    Exact text equality is subsumed (identical text => identical shingle
+    set => Jaccard 1.0), so one channel covers both. Returns one row per
+    delta doc: (id, status 'new'|'dup', canonical_id = min matching base
+    id, best_jaccard = max matching Jaccard rounded to 4).
+
+    Candidates are delta-shingle x base-shingle equi-joins on the 8-byte
+    hash — recall 1.0 (J > 0 requires a shared shingle). At web scale, set
+    max_shingle_df to drop boilerplate shingles whose BASE document
+    frequency exceeds it before the join (explicit recall trade; the
+    filter is on the base side only so delta-internal repetition cannot
+    mask a true base match).
+    """
+    d_sh = delta.select(F.col(id_col).alias("_did"), F.col(sh_col).alias("_dsh"))
+    b_sh = base.select(F.col(id_col).alias("_bid"), F.col(sh_col).alias("_bsh"))
+    ex_b = b_sh.select("_bid", F.explode("_bsh").alias("_h"))
+    if max_shingle_df is not None:
+        hot = (
+            ex_b.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_h")
+        )
+        ex_b = ex_b.join(hot, "_h", "left_anti")
+    ex_d = d_sh.select("_did", F.explode("_dsh").alias("_h"))
+    cand = ex_d.join(ex_b, "_h").select("_did", "_bid").distinct()
+    inter = F.size(F.array_intersect("_dsh", "_bsh"))
+    union = F.size("_dsh") + F.size("_bsh") - inter
+    hits = (
+        cand.join(d_sh, "_did")
+        .join(b_sh, "_bid")
+        .withColumn("_j", inter.cast("double") / union)
+        .filter(F.col("_j") >= F.lit(threshold))
+        .groupBy("_did")
+        .agg(
+            F.min("_bid").alias("canonical_id"),
+            F.round(F.max("_j"), 4).alias("best_jaccard"),
+        )
+    )
+    return (
+        delta.select(F.col(id_col).alias("_did"))
+        .join(hits, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.when(F.col("canonical_id").isNull(), F.lit("new"))
+            .otherwise(F.lit("dup"))
+            .alias("status"),
+            "canonical_id",
+            "best_jaccard",
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "id",
+    sh_col: str = "shingle_hashes",
+) -> DataFrame:
+    """Eval-set decontamination: per train doc, count its distinct shingles
+    that appear anywhere in the eval set (n-gram overlap contamination,
+    the pre-training hygiene check). Returns only contaminated docs
+    (id, n_contaminated_shingles).
+
+    The distinct eval shingle-hash set is broadcast: eval benchmarks are
+    small by construction, so the train side — the 100 TB side — is a
+    broadcast hash join with no shuffle before the final per-doc count
+    (map-side combinable). If an eval set ever outgrows broadcast, drop
+    the hint and the same plan degrades to a shuffle join.
+    """
+    ev = (
+        eval_docs.select(F.explode(sh_col).alias("_h"))
+        .distinct()
+    )
+    tr = train.select(F.col(id_col).alias("_tid"), F.explode(sh_col).alias("_h"))
+    return (
+        tr.join(F.broadcast(ev), "_h")
+        .groupBy("_tid")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .select(F.col("_tid").alias(id_col), "n_contaminated_shingles")
+    )
+
+
+def pack_tokens(
+    docs: DataFrame,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Sequence packing: concatenate each shard's docs in id order and chunk
+    the token stream into fixed `budget`-token packs (the GPT-style
+    concat-then-chunk layout). A doc belongs to the pack where its first
+    token lands; pack_pos is that offset within the pack.
+
+    One window per shard — packing parallelizes across shards (sources /
+    dump partitions) instead of imposing a global total order, which is
+    the only packing layout that survives 100 TB.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        docs.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(start / F.lit(budget)))
+        .withColumn("pack_pos", start % F.lit(budget))
+    )

@@ -430,6 +430,80 @@ def m1_media_decode(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Training-data curation breadth (operators/curation.py). The eval/delta
+# splits are deterministic residue classes of doc_id so the DuckDB oracle can
+# reproduce them without any side-channel.
+
+# C1: Gopher-style quality gate — thresholds chosen to split the driver
+# corpus (n_tokens 10-99, top-token share 0.065-0.167, stopword ratio
+# 0-0.077), so keep and drop both occur at every sf.
+def c1_quality_filter(spark, sf_dir):
+    from dedup_spark.operators.curation import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir))
+
+
+# C2: incremental dedup — the docs with doc_id % 5 == 0 are "today's crawl",
+# the rest the standing corpus; each new doc is matched by shingle-Jaccard
+# >= 0.7 (exact dups included: identical text => Jaccard 1.0). Runs on the
+# fused window-hash shingles; the string-shingle oracle matches because
+# hash-set Jaccard == string-shingle Jaccard (equivalence unit-tested).
+def c2_delta_dedup(spark, sf_dir):
+    from dedup_spark.operators.curation import incremental_near_dups
+    from dedup_spark.plans.pipeline import spill
+
+    # spill: the candidate generator + verify join read the features 2x per
+    # side — without materialization each read re-runs the Arrow UDF
+    feats = spill(
+        _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes"),
+        CFG,
+        "c2_feats",
+    )
+    matched = incremental_near_dups(
+        feats.filter(F.col("doc_id") % 5 == 0),
+        feats.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.7,
+        id_col="doc_id",
+    )
+    # left-join from the raw delta ids: docs with zero shingles never enter
+    # the feature table but are still 'new' rows of the contract
+    delta_ids = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return delta_ids.join(matched, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("status"), F.lit("new")).alias("status"),
+        F.col("canonical_id").alias("canonical_doc_id"),
+        "best_jaccard",
+    )
+
+
+# C3: eval-set decontamination — docs with doc_id % 10 == 0 stand in for the
+# eval benchmark; every train doc sharing a 5-word shingle with any eval doc
+# is reported with its overlap count (broadcast semi-join on the eval set).
+def c3_decontaminate(spark, sf_dir):
+    from dedup_spark.operators.curation import decontaminate
+    from dedup_spark.plans.pipeline import spill
+
+    feats = spill(
+        _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes"),
+        CFG,
+        "c3_feats",
+    )
+    return decontaminate(
+        feats.filter(F.col("doc_id") % 10 != 0),
+        feats.filter(F.col("doc_id") % 10 == 0),
+        id_col="doc_id",
+    )
+
+
+# C4: sequence packing — per-source token streams chunked into 256-token
+# packs (concat-then-chunk); a doc's pack is where its first token lands.
+def c4_pack_tokens(spark, sf_dir):
+    from dedup_spark.operators.curation import pack_tokens
+
+    return pack_tokens(_docs(spark, sf_dir), budget=256)
+
+
+# --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
     emb = _emb(spark, sf_dir).select(
@@ -719,6 +793,10 @@ QUERIES = {
     "n9_checkpoint_resume": n9_checkpoint_resume,
     "s9_stream_ingest": s9_stream_ingest,
     "m1_media_decode": m1_media_decode,
+    "c1_quality_filter": c1_quality_filter,
+    "c2_delta_dedup": c2_delta_dedup,
+    "c3_decontaminate": c3_decontaminate,
+    "c4_pack_tokens": c4_pack_tokens,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -1054,6 +1132,82 @@ ORACLE = {
                (CASE WHEN kind = 'video' THEN c END)::INT AS n_frames,
                (24 + least(a * b * c % 4096 + 64, 4096))::BIGINT AS payload_bytes
         FROM p
+    """,
+    "c1_quality_filter": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(case when {_NORM} = '' then [] else {_WORDS} end) AS tok
+          FROM documents
+        ), per AS (
+          SELECT doc_id, tok, count(*) AS cnt FROM w GROUP BY doc_id, tok
+        ), agg AS (
+          SELECT doc_id,
+                 sum(cnt)::BIGINT AS n_tokens,
+                 max(cnt)::BIGINT AS top_cnt,
+                 sum(CASE WHEN list_contains({str(sorted(_STOPS['en']))}, tok)
+                          THEN cnt ELSE 0 END)::BIGINT AS n_stop
+          FROM per GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               round(coalesce(a.top_cnt::DOUBLE / a.n_tokens, 0.0), 4) AS top_token_frac,
+               round(coalesce(a.n_stop::DOUBLE / a.n_tokens, 0.0), 4) AS stopword_ratio,
+               (coalesce(a.n_tokens, 0) >= 20
+                AND coalesce(a.top_cnt::DOUBLE / a.n_tokens, 0.0) <= 0.125
+                AND coalesce(a.n_stop::DOUBLE / a.n_tokens, 0.0) >= 0.01) AS keep
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "c2_delta_dedup": f"""
+        WITH sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
+        base AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 != 0),
+        delta AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 = 0),
+        exd AS (SELECT doc_id, unnest(s) AS tok FROM delta),
+        exb AS (SELECT doc_id, unnest(s) AS tok FROM base),
+        cand AS (
+          SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+          FROM exd d JOIN exb b USING (tok)
+        ),
+        scored AS (
+          SELECT delta_id, base_id,
+                 len(list_intersect(sa.s, sb.s)) /
+                 (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE AS j
+          FROM cand
+          JOIN sh sa ON sa.doc_id = delta_id
+          JOIN sh sb ON sb.doc_id = base_id
+        ),
+        hit AS (
+          SELECT delta_id, min(base_id) AS canonical_doc_id,
+                 round(max(j), 4) AS best_jaccard
+          FROM scored WHERE j >= 0.7 GROUP BY delta_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN h.canonical_doc_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+               h.canonical_doc_id, h.best_jaccard
+        FROM delta d LEFT JOIN hit h ON h.delta_id = d.doc_id
+    """,
+    "c3_decontaminate": f"""
+        WITH sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
+        ev AS (SELECT DISTINCT unnest(s) AS tok FROM sh WHERE doc_id % 10 = 0),
+        tr AS (SELECT doc_id, unnest(s) AS tok FROM sh WHERE doc_id % 10 != 0)
+        SELECT tr.doc_id, count(*) AS n_contaminated_shingles
+        FROM tr JOIN ev USING (tok)
+        GROUP BY tr.doc_id
+    """,
+    "c4_pack_tokens": f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 (case when {_NORM} = '' then 0 else len({_WORDS}) end)::BIGINT AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, source, n_tokens,
+                 (sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id))::BIGINT
+                   - n_tokens AS strt
+          FROM t
+        )
+        SELECT doc_id, source, n_tokens,
+               (strt // 256)::BIGINT AS pack_id,
+               (strt % 256)::BIGINT AS pack_pos
+        FROM c
     """,
     # scale-path twins: identical SQL as their brute-force counterparts — the
     # contract is that the LSH-bucketed plans return the SAME rows

@@ -1,0 +1,147 @@
+"""Unit tests for training-data curation operators (operators/curation.py):
+quality gate thresholds, incremental near-dup matching (incl. the explicit
+max_shingle_df recall trade), decontamination counts, and packing math.
+Oracle parity at sf0.001 rides tests/test_entry.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedup_spark.functions.text import shingle_hashes
+from dedup_spark.operators.curation import (
+    decontaminate,
+    incremental_near_dups,
+    pack_tokens,
+    quality_filter,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _with_sh(df, k=3):
+    return df.select("doc_id", shingle_hashes("text", k).alias("shingle_hashes"))
+
+
+GOOD = "the cat sat on the mat and it was a very fine day for all of us " * 2
+
+
+def test_quality_filter_thresholds(spark):
+    df = _docs(
+        spark,
+        [
+            (1, GOOD),  # long, diverse, stopword-rich -> keep
+            (2, "spam " * 40),  # top_token_frac = 1.0 -> drop
+            (3, "the cat sat"),  # 3 tokens < 20 -> drop
+            (4, "alpha beta gamma delta " * 10),  # no stopwords -> drop
+            (5, "   "),  # empty after normalize -> n_tokens 0 -> drop
+        ],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality_filter(df, min_tokens=20).collect()
+    }
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["top_token_frac"] == 1.0
+    assert got[3]["keep"] is False and got[3]["n_tokens"] == 3
+    assert got[4]["keep"] is False and got[4]["stopword_ratio"] == 0.0
+    assert got[5]["keep"] is False and got[5]["n_tokens"] == 0
+
+
+def test_quality_filter_top_token_frac(spark):
+    # 10 tokens, 'the' appears 3x -> top frac 0.3; stopword ratio 0.3
+    df = _docs(spark, [(1, "the fish the bird the cow ate red tasty grass")])
+    row = quality_filter(df).collect()[0]
+    assert row["n_tokens"] == 10
+    assert abs(row["top_token_frac"] - 0.3) < 1e-9
+    assert abs(row["stopword_ratio"] - 0.3) < 1e-9
+
+
+def test_incremental_near_dups_matches(spark):
+    base = _with_sh(
+        _docs(
+            spark,
+            [
+                (10, "aa bb cc dd ee ff gg hh"),
+                (11, "aa bb cc dd ee ff gg hh"),  # exact copy inside base
+                (12, "zz yy xx ww vv uu tt ss"),
+            ],
+        )
+    )
+    delta = _with_sh(
+        _docs(
+            spark,
+            [
+                (100, "aa bb cc dd ee ff gg hh"),  # exact dup -> canonical 10
+                (101, "aa bb cc dd ee ff gg qq"),  # near dup of 10/11
+                (102, "mm nn oo pp qq rr ss tt"),  # new
+            ],
+        )
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in incremental_near_dups(
+            delta, base, threshold=0.5, id_col="doc_id"
+        ).collect()
+    }
+    assert got[100]["status"] == "dup"
+    assert got[100]["canonical_id"] == 10  # min matching base id
+    assert got[100]["best_jaccard"] == 1.0
+    assert got[101]["status"] == "dup" and got[101]["best_jaccard"] < 1.0
+    assert got[102]["status"] == "new"
+    assert got[102]["canonical_id"] is None
+
+
+def test_incremental_near_dups_shingle_df_prune(spark):
+    # every base doc shares the boilerplate line; delta doc 100 matches base
+    # ONLY via that boilerplate (J=1 vs doc 10). With max_shingle_df=1 the
+    # hot shingles are dropped from the base index -> no candidate -> 'new'
+    # (the documented, explicit recall trade).
+    boiler = "subscribe to our newsletter now"
+    base = _with_sh(
+        _docs(spark, [(10, boiler), (11, boiler), (12, boiler)]), k=5
+    )
+    delta = _with_sh(_docs(spark, [(100, boiler)]), k=5)
+    dup = incremental_near_dups(delta, base, 0.5, id_col="doc_id").collect()[0]
+    assert dup["status"] == "dup" and dup["canonical_id"] == 10
+    pruned = incremental_near_dups(
+        delta, base, 0.5, id_col="doc_id", max_shingle_df=1
+    ).collect()[0]
+    assert pruned["status"] == "new"
+
+
+def test_decontaminate_counts_distinct_overlap(spark):
+    ev = _with_sh(_docs(spark, [(1, "aa bb cc dd ee")]))  # 3-shingles x3
+    tr = _with_sh(
+        _docs(
+            spark,
+            [
+                (10, "aa bb cc dd ee ff"),  # shares 3 of its 4 shingles
+                (11, "zz yy xx ww vv"),  # clean -> absent from output
+            ],
+        )
+    )
+    got = {r["doc_id"]: r["n_contaminated_shingles"]
+           for r in decontaminate(tr, ev, id_col="doc_id").collect()}
+    assert got == {10: 3}
+
+
+def test_pack_tokens_offsets(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "a b c d"),          # 4 tokens, start 0  -> pack 0 pos 0
+            (2, "s1", " ".join(["t"] * 5)),  # start 4  -> pack 0 pos 4
+            (3, "s1", "x y z"),            # start 9  -> pack 1 pos 1
+            (4, "s2", "q r"),              # other shard restarts at 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_pos"], r["n_tokens"])
+        for r in pack_tokens(df, budget=8).collect()
+    }
+    assert got[1] == (0, 0, 4)
+    assert got[2] == (0, 4, 5)
+    assert got[3] == (1, 1, 3)
+    assert got[4] == (0, 0, 2)
