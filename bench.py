@@ -79,6 +79,8 @@ def main() -> None:
         "q3_top_revenue_orders",
         "s9_stream_ingest",
         "m1_media_decode",
+        "c1_quality_filter",
+        "c2_delta_dedup",
     ]
 
     timings: dict[str, float] = {}

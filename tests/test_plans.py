@@ -92,3 +92,34 @@ def test_pipeline_pairs_have_no_cartesian_product(spark, pages, config):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The eval shingle set is the broadcast side: the 100 TB train side must
+    never shuffle for the contamination join (only the final per-doc count
+    aggregates, map-side combined)."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["c3_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["c1_quality_filter", "c2_delta_dedup"])
+def test_curation_paths_have_no_cartesian_product(spark, name):
+    """Quality gating is pure hash aggregation and delta dedup is shingle-hash
+    equi-join work — a cartesian anywhere means a quadratic plan."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_tokens_single_exchange_per_shard_window(spark):
+    """Packing partitions by shard: ONE exchange (the shard window), no
+    global total order anywhere in the plan."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["c4_pack_tokens"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "rangepartitioning" not in plan, plan
