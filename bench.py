@@ -78,6 +78,7 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_top_revenue_orders",
         "s9_stream_ingest",
+        "s10_stream_first_seen",
         "m1_media_decode",
         "c1_quality_filter",
         "c2_delta_dedup",

@@ -386,6 +386,33 @@ def s9_stream_ingest(spark, sf_dir):
     )
 
 
+# S10: custom stateful streaming operator (applyInPandasWithState) — every
+# arrival labeled first-copy / duplicate-of across micro-batches. The pages
+# land as ONE file so availableNow drains them in one deterministic batch;
+# within a batch a key's arrivals are ordered (warc_ts, url) = doc_id order,
+# so the DuckDB oracle is a plain row_number over the content class. The
+# cross-batch statefulness itself (the non-SQL part) is pinned by
+# tests/test_streaming.py with multi-batch admission.
+def s10_stream_first_seen(spark, sf_dir):
+    import tempfile
+
+    from dedup_spark.plans.pipeline import register_temp_dir
+    from dedup_spark.streaming.ingest import read_pages_stream, run_stream_to_parquet
+    from dedup_spark.streaming.stateful import stream_first_seen
+
+    base = tempfile.mkdtemp(prefix="dedup_s10_stream_")
+    register_temp_dir(base)  # the returned DataFrame lazily re-reads out/
+    documents_as_pages(spark, sf_dir).coalesce(1).write.parquet(f"{base}/src")
+    labeled = stream_first_seen(read_pages_stream(spark, f"{base}/src"), CFG)
+    run_stream_to_parquet(labeled, f"{base}/out", f"{base}/ck")
+    return spark.read.parquet(f"{base}/out").select(
+        F.col("url").cast("long").alias("doc_id"),
+        "is_first",
+        "n_prior",
+        F.col("dup_of").cast("long").alias("dup_of_doc_id"),
+    )
+
+
 # M1: multimodal decode round-trip. Documents drive a deterministic fake
 # media table (payload params are pure SQL functions of doc_id/n_chars), the
 # binary payloads are built in one mapInPandas pass, and decode_media (the
@@ -792,6 +819,7 @@ QUERIES = {
     "n10_hot_buckets": n10_hot_buckets,
     "n9_checkpoint_resume": n9_checkpoint_resume,
     "s9_stream_ingest": s9_stream_ingest,
+    "s10_stream_first_seen": s10_stream_first_seen,
     "m1_media_decode": m1_media_decode,
     "c1_quality_filter": c1_quality_filter,
     "c2_delta_dedup": c2_delta_dedup,
@@ -1111,6 +1139,19 @@ ORACLE = {
     "s9_stream_ingest": r"""
         SELECT doc_id, lang, source FROM documents
         WHERE regexp_replace(text, '\s+', '', 'g') != ''
+    """,
+    "s10_stream_first_seen": f"""
+        SELECT doc_id,
+               rn = 1 AS is_first,
+               (rn - 1)::BIGINT AS n_prior,
+               CASE WHEN rn > 1 THEN first_id END AS dup_of_doc_id
+        FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY {_NORM} ORDER BY doc_id) AS rn,
+                 min(doc_id) OVER (PARTITION BY {_NORM}) AS first_id
+          FROM documents
+          WHERE regexp_replace(text, '\\s+', '', 'g') != ''
+        )
     """,
     "m1_media_decode": """
         WITH p AS (

@@ -82,3 +82,73 @@ def test_stream_is_incremental(spark, config, stream_src, tmp_path):
     )
     n2 = spark.read.parquet(out).count()
     assert n1 == n2
+
+
+def test_stateful_first_seen_cross_batch(spark, config, tmp_path):
+    """applyInPandasWithState carries per-hash state ACROSS micro-batches:
+    a copy arriving in a later batch is labeled duplicate-of the first
+    batch's url — the labeling dropDuplicates cannot produce."""
+    import datetime
+    import time
+
+    from dedup_spark.streaming.stateful import stream_first_seen
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string"
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    b1 = spark.createDataFrame(
+        [("u1", ts, None, "hello world one", "en", "s"),
+         ("u3", ts, None, "unique text here", "en", "s")], schema
+    )
+    b2 = spark.createDataFrame(
+        [("u2", ts + datetime.timedelta(minutes=10), None, "hello world one",
+          "en", "s")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)  # file-source admission orders by mtime
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_stream_to_parquet(stream_first_seen(stream, config), out, ckpt)
+    got = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert got["u1"].is_first and got["u1"].n_prior == 0 and got["u1"].dup_of is None
+    assert got["u3"].is_first
+    assert not got["u2"].is_first
+    assert got["u2"].n_prior == 1 and got["u2"].dup_of == "u1"
+
+
+def test_stateful_first_seen_matches_batch_order(spark, config, stream_src, tmp_path):
+    """One-batch drain over the corpus: labeling equals the batch window
+    row_number over (content class, warc_ts, url) — every arrival kept,
+    n_prior counts earlier copies, dup_of points at the first."""
+    from pyspark.sql import Window
+
+    from dedup_spark.streaming.stateful import stream_first_seen
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_stream_to_parquet(
+        stream_first_seen(read_pages_stream(spark, stream_src), config), out, ckpt
+    )
+    got = {
+        r.url: (r.is_first, r.n_prior, r.dup_of)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    batch = spark.read.parquet(stream_src).filter(
+        F.regexp_replace("text", r"\s+", "") != ""
+    )
+    w = Window.partitionBy(norm).orderBy("warc_ts", "url")
+    want = {
+        r.url: (r.rn == 1, r.rn - 1, None if r.rn == 1 else r.first_url)
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .withColumn("first_url", F.first("url").over(w))
+        .collect()
+    }
+    assert got == want
+    assert any(not v[0] for v in got.values())  # planted dups exercised
