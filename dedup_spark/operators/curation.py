@@ -178,6 +178,99 @@ def decontaminate(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Corpus mixing: deterministically subsample each shard (source) to an
+    equal share of a global token budget.
+
+    Per shard: rate = min(1, (budget/n_shards) / shard_tokens), applied by a
+    multiplicative integer hash of the id — ((id % 65536) * 48271) % 65536 is
+    a bijection mod 2^16 (48271 is the MINSTD multiplier, odd), so exactly
+    rate*65536/65536 of any id range is kept, spread pseudo-randomly, with
+    NO floating point and no RNG state: the same row is kept on every run,
+    engine, and partitioning. Over-budget shards are downsampled; under-
+    budget shards pass through whole (rate 1).
+
+    Plan: one map-side-combining agg for shard token totals, broadcast back
+    (shard cardinality is small), then a stateless filter — the 100 TB side
+    is scanned once and never shuffled.
+    """
+    n_tok = F.size(tokens(text_col)).cast("long")
+    sized = docs.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
+    totals = sized.groupBy(shard_col).agg(F.sum("n_tokens").alias("_shard_tokens"))
+    n_shards = totals.count()  # shard cardinality: tiny, known at plan time
+    per_shard_budget = token_budget // max(n_shards, 1)
+    # integer `div`, not float division: rates must be bit-exact across
+    # engines and partition counts even when budget*65536 exceeds 2^53
+    rate64k = F.expr(
+        f"least(cast(65536 as bigint), "
+        f"cast({per_shard_budget * 65536} as bigint) div _shard_tokens)"
+    )
+    keyed = sized.join(
+        F.broadcast(totals.select(shard_col, rate64k.alias("_rate64k"))), shard_col
+    )
+    prand = (F.pmod(F.col(id_col), F.lit(65536)) * 48271) % 65536
+    return (
+        keyed.filter(prand < F.col("_rate64k"))
+        .select(id_col, shard_col, "n_tokens", F.col("_rate64k").alias("rate64k"))
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows (RAG / context-
+    window chunking): chunks start at 0, stride, 2*stride, ... and span
+    chunk_size tokens (the last chunk is shorter). Empty docs yield no
+    chunks; docs with <= chunk_size tokens yield exactly one.
+
+    Pure JVM row fan-out (posexplode over a computed range + array slice):
+    no shuffle at all — chunking is embarrassingly parallel and stays in
+    whole-stage codegen next to the scan.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    w = tokens(text_col)
+    n = F.size(w)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((F.greatest(n - chunk_size, F.lit(0)) + stride - 1) / F.lit(stride))
+        + 1
+    )
+    # sequence(0, -1) would DESCEND in Spark, so gate the empty case to an
+    # empty array (posexplode of [] emits no rows — empty docs vanish)
+    idxs = F.when(n_chunks <= 0, F.array().cast("array<long>")).otherwise(
+        F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+    )
+    start = F.col("chunk_idx") * stride  # 0-based token offset
+    return (
+        docs.select(
+            F.col(id_col),
+            w.alias("_w"),
+            n.alias("_n"),
+            F.posexplode(idxs).alias("chunk_idx", "_x"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice("_w", start + 1, F.lit(chunk_size))
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_size), F.col("_n") - start)
+            .cast("long")
+            .alias("chunk_n_tokens"),
+        )
+    )
+
+
 def pack_tokens(
     docs: DataFrame,
     budget: int = 256,

@@ -530,6 +530,23 @@ def c4_pack_tokens(spark, sf_dir):
     return pack_tokens(_docs(spark, sf_dir), budget=256)
 
 
+# C5: corpus mixing — each source downsampled to an equal share of an 8000-
+# token global budget by a deterministic integer hash (no RNG, no floats:
+# the same rows are kept on every engine and partitioning).
+def c5_stratified_sample(spark, sf_dir):
+    from dedup_spark.operators.curation import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), token_budget=8000)
+
+
+# C6: overlapping token-window chunking (chunk 64, stride 48) — the RAG /
+# context-window splitter; pure row fan-out, no shuffle.
+def c6_chunk_documents(spark, sf_dir):
+    from dedup_spark.operators.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=64, stride=48)
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
@@ -825,6 +842,8 @@ QUERIES = {
     "c2_delta_dedup": c2_delta_dedup,
     "c3_decontaminate": c3_decontaminate,
     "c4_pack_tokens": c4_pack_tokens,
+    "c5_stratified_sample": c5_stratified_sample,
+    "c6_chunk_documents": c6_chunk_documents,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -1249,6 +1268,42 @@ ORACLE = {
                (strt // 256)::BIGINT AS pack_id,
                (strt % 256)::BIGINT AS pack_pos
         FROM c
+    """,
+    "c5_stratified_sample": f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 (case when {_NORM} = '' then 0 else len({_WORDS}) end)::BIGINT AS n_tokens
+          FROM documents
+        ), tot AS (
+          SELECT source, sum(n_tokens)::BIGINT AS shard_tokens FROM t GROUP BY source
+        ), r AS (
+          SELECT source,
+                 least(65536::BIGINT,
+                       ((8000 // (SELECT count(*) FROM tot)) * 65536) // shard_tokens
+                 ) AS rate64k
+          FROM tot
+        )
+        SELECT t.doc_id, t.source, t.n_tokens, r.rate64k
+        FROM t JOIN r USING (source)
+        WHERE ((t.doc_id % 65536) * 48271) % 65536 < r.rate64k
+    """,
+    "c6_chunk_documents": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 (case when {_NORM} = '' then [] else {_WORDS} end) AS w
+          FROM documents
+        ), s AS (
+          SELECT doc_id, w, len(w)::BIGINT AS n,
+                 CASE WHEN len(w) <= 0 THEN 0
+                      ELSE (greatest(len(w) - 64, 0) + 47) // 48 + 1 END AS n_chunks
+          FROM t
+        ), fan AS (
+          SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS chunk_idx FROM s
+        )
+        SELECT doc_id, chunk_idx,
+               array_to_string(w[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk_text,
+               least(64, n - chunk_idx*48)::BIGINT AS chunk_n_tokens
+        FROM fan
     """,
     # scale-path twins: identical SQL as their brute-force counterparts — the
     # contract is that the LSH-bucketed plans return the SAME rows

@@ -145,3 +145,50 @@ def test_pack_tokens_offsets(spark):
     assert got[2] == (0, 4, 5)
     assert got[3] == (1, 1, 3)
     assert got[4] == (0, 0, 2)
+
+
+def test_chunk_documents_boundaries(spark):
+    from dedup_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks -> 1 chunk
+            (2, " ".join(f"t{i}" for i in range(8))),   # == chunk_size -> 1
+            (3, " ".join(f"t{i}" for i in range(9))),   # size+1 -> 2 chunks
+            (4, "   "),                                  # empty -> 0 chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["chunk_n_tokens"])
+        for r in chunk_documents(df, chunk_size=8, stride=4).collect()
+    }
+    by_doc = {}
+    for (d, i) in got:
+        by_doc.setdefault(d, []).append(i)
+    assert sorted(by_doc[1]) == [0, 1]  # 10 toks, stride 4: starts 0 and 4
+    assert by_doc[2] == [0]
+    assert sorted(by_doc[3]) == [0, 1]
+    assert 4 not in by_doc
+    # overlap: chunk 1 of doc 1 starts at token 4 and has the remaining 6
+    assert got[(1, 1)] == (" ".join(f"t{i}" for i in range(4, 10)), 6)
+    assert got[(1, 0)][1] == 8
+
+
+def test_stratified_sample_budget_and_determinism(spark):
+    from dedup_spark.operators.curation import stratified_sample
+
+    rows = [(i, "big", "tok " * 50) for i in range(200)]  # 10_000 tokens
+    rows += [(1000 + i, "small", "tok " * 10) for i in range(10)]  # 100 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # budget 2000 -> 1000/shard: big downsamples to ~10%, small passes whole
+    got = stratified_sample(df, token_budget=2000).collect()
+    small = [r for r in got if r["source"] == "small"]
+    big = [r for r in got if r["source"] == "big"]
+    assert len(small) == 10 and all(r["rate64k"] == 65536 for r in small)
+    assert 0 < len(big) < 200
+    rate = big[0]["rate64k"]
+    assert rate == (1000 * 65536) // 10_000
+    # deterministic: the exact same id set on a rerun
+    again = {r["doc_id"] for r in stratified_sample(df, token_budget=2000).collect()}
+    assert again == {r["doc_id"] for r in got}

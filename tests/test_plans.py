@@ -123,3 +123,24 @@ def test_pack_tokens_single_exchange_per_shard_window(spark):
     plan = plan_of(QUERIES["c4_pack_tokens"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_stratified_sample_one_agg_plus_broadcast(spark):
+    """Corpus mixing scans the 100 TB side once: one exchange (the shard
+    token totals) and a broadcast of the tiny rate table back — the data
+    itself never shuffles."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["c5_stratified_sample"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is pure row fan-out (Generate) — zero exchanges; it stays
+    pipelined with the scan."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["c6_chunk_documents"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan
+    assert "Generate" in plan, plan
