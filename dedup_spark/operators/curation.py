@@ -1,9 +1,9 @@
 """Training-data curation operators: quality filtering, incremental dedup,
-eval-set decontamination, and sequence packing.
+eval-set decontamination, corpus mixing, chunking, and sequence packing.
 
 These extend the reference's dedup surface (SURVEY.md §2) with the operations
 a large-scale LLM training-data pipeline runs between ingest and tokenization.
-All four are pure DataFrame compositions — no Python in the hot path except
+All are pure DataFrame compositions — no Python in the hot path except
 the already-fused Arrow signature stage the callers feed in.
 
 Scale notes (100 TB):
@@ -21,6 +21,10 @@ Scale notes (100 TB):
 - pack_tokens: the running-offset window partitions by shard, so packing
   parallelizes across shards and never funnels the corpus through one
   partition; within-shard order is the semantic contract of packing.
+- stratified_sample: one map-side-combining aggregation for shard token
+  totals, a broadcast of the tiny rate table back, a stateless filter —
+  the corpus is scanned once and never shuffled.
+- chunk_documents: pure Generate fan-out, zero exchanges.
 """
 
 from __future__ import annotations
