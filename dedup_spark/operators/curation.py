@@ -182,6 +182,44 @@ def decontaminate(
     )
 
 
+def keyword_extract(
+    docs: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinctive-keyword extraction: per doc, the top_k tokens ranked by
+    (term frequency desc, corpus document frequency asc, token asc) — the
+    tf-idf ordering expressed over INTEGER keys only, so the ranking is
+    bit-exact across engines (ln()-based idf differs in the last ulp
+    between libm implementations; the integer sort never does).
+
+    Plan: the same (doc, token) count table quality_filter builds, plus a
+    token-keyed document-frequency aggregate joined back. The df table has
+    one row per vocabulary token; hot tokens (stopwords) are single build
+    rows, never a pair explosion. Final per-doc top-k is a window on the
+    doc key.
+    """
+    toks = docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            "tf",
+            "df",
+        )
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     token_budget: int,

@@ -547,6 +547,14 @@ def c6_chunk_documents(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_size=64, stride=48)
 
 
+# C7: distinctive keywords — per doc top-3 tokens by (tf desc, df asc, token
+# asc): tf-idf's ordering over integer keys only, bit-exact across engines.
+def c7_keywords(spark, sf_dir):
+    from dedup_spark.operators.curation import keyword_extract
+
+    return keyword_extract(_docs(spark, sf_dir), top_k=3)
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
@@ -844,6 +852,7 @@ QUERIES = {
     "c4_pack_tokens": c4_pack_tokens,
     "c5_stratified_sample": c5_stratified_sample,
     "c6_chunk_documents": c6_chunk_documents,
+    "c7_keywords": c7_keywords,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -1286,6 +1295,25 @@ ORACLE = {
         SELECT t.doc_id, t.source, t.n_tokens, r.rate64k
         FROM t JOIN r USING (source)
         WHERE ((t.doc_id % 65536) * 48271) % 65536 < r.rate64k
+    """,
+    "c7_keywords": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(case when {_NORM} = '' then [] else {_WORDS} end) AS token
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, token, count(*) AS tf FROM w GROUP BY doc_id, token
+        ), dfreq AS (
+          SELECT token, count(*) AS df FROM tf GROUP BY token
+        )
+        SELECT doc_id, rank, token, tf, df FROM (
+          SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC
+                 ) AS rank
+          FROM tf JOIN dfreq USING (token)
+        ) WHERE rank <= 3
     """,
     "c6_chunk_documents": f"""
         WITH t AS (

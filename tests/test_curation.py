@@ -192,3 +192,27 @@ def test_stratified_sample_budget_and_determinism(spark):
     # deterministic: the exact same id set on a rerun
     again = {r["doc_id"] for r in stratified_sample(df, token_budget=2000).collect()}
     assert again == {r["doc_id"] for r in got}
+
+
+def test_keyword_extract_integer_ranking(spark):
+    from dedup_spark.operators.curation import keyword_extract
+
+    df = _docs(
+        spark,
+        [
+            # doc 1: 'cat' tf=3; 'dog'/'ant' tf=2 tie -> df breaks it:
+            # 'dog' appears in doc 2 too (df=2), 'ant' only here (df=1)
+            (1, "cat cat cat dog dog ant ant zz"),
+            (2, "dog bird bird"),
+        ],
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["df"])
+        for r in keyword_extract(df, top_k=3).collect()
+    }
+    assert got[(1, 1)] == ("cat", 3, 1)
+    assert got[(1, 2)] == ("ant", 2, 1)  # rarer corpus-wide than 'dog'
+    assert got[(1, 3)] == ("dog", 2, 2)
+    assert got[(2, 1)] == ("bird", 2, 1)
+    assert got[(2, 2)] == ("dog", 1, 2)
+    assert (2, 3) not in got  # doc 2 has only 2 distinct tokens
