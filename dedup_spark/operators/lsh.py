@@ -15,20 +15,29 @@ path, is size-aware:
     pairs from a sorted collect_list (bounded: <= cap members per task,
     <= cap*(cap-1)/2 pairs per bucket). No salting, so co-bucketed docs are
     NEVER separated by their salt: enumeration below the cap is exhaustive.
-  - hot buckets (n > pair_cap_all) switch to the salted two-level star: the
-    bucket key is salted with pmod(xxhash64(id), nsalt) so no single task
-    materializes a 10^6-member boilerplate bucket; per-salt sub-buckets emit
-    all pairs if small else a star around their min-id hub, and the <= nsalt
-    per-bucket hubs are then fully paired (second, tiny shuffle). The
-    transitive closure equals the unsalted bucket's, which is what connected
-    components needs.
+  - mid buckets (pair_cap_all < n <= pair_cap_cross) are STILL exhaustive,
+    via triangulated block all-pairs: each member gets salt s in [0, nsalt)
+    and is replicated to the nsalt task keys {(min(s,t), max(s,t))}; task
+    (i, i) emits all pairs inside salt group i, task (i, j), i < j emits the
+    full cross product group_i x group_j. Every pair of the bucket is emitted
+    exactly once, no task ever holds more than ~2n/nsalt members, and no
+    pair is mediated by a hub — this closes the cross-salt recall hole where
+    two true near-dups in different salt groups were connected only through
+    hub docs that had to survive downstream Hamming/Jaccard verification.
+  - ultra-hot buckets (n > pair_cap_cross) switch to the salted two-level
+    star: per-salt sub-buckets emit all pairs if small else a star around
+    their min-id hub, and the <= nsalt per-bucket hubs are then fully paired
+    (second, tiny shuffle). The transitive closure equals the unsalted
+    bucket's, which is what connected components needs.
 
-  RECALL TRADEOFF inside hot buckets (explicit, not silent): star/hub edges
-  still have to pass downstream verification (Jaccard), so two true near-dups
-  whose only shared buckets are hot are connected through hub docs that may
-  fail the verify cut. Hot buckets are near-identical boilerplate in practice
-  (that is what makes them hot), so hubs verify against members; every hot
-  bucket is nonetheless surfaced via `hot_buckets` so the cap is auditable.
+  RECALL TRADEOFF inside ultra-hot buckets (explicit, not silent): star/hub
+  edges still have to pass downstream verification (Jaccard), so two true
+  near-dups whose only shared buckets are ultra-hot are connected through hub
+  docs that may fail the verify cut. At the default pair_cap_cross=1024 this
+  tier is reached only by degenerate boilerplate clusters (>1024 docs sharing
+  a band key), which are near-identical in practice — that is what makes them
+  hot — so hubs verify against members; every hot bucket is nonetheless
+  surfaced via `hot_buckets` so the cap is auditable.
 """
 
 from __future__ import annotations
@@ -39,6 +48,10 @@ from pyspark.sql import functions as F
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
 
 PAIR_CAP_ALL = 64  # all-pairs only below this bucket size: <= 2016 pairs/bucket
+# exhaustive (triangulated) enumeration up to this bucket size: <= ~524k
+# pairs/bucket, spread over nsalt*(nsalt+1)/2 bounded tasks; beyond it the
+# salted star caps quadratic blowup for degenerate boilerplate clusters.
+PAIR_CAP_CROSS = 1024
 
 _KEYS = ["band_idx", "band_key"]
 
@@ -103,20 +116,43 @@ def pairs_from_buckets(
     return pairs.distinct().withColumn("channel", F.lit(channel))
 
 
+def _cross_pairs(a, b) -> F.Column:
+    """Full cross product of two disjoint member arrays, id-ordered."""
+    return F.flatten(
+        F.transform(
+            a,
+            lambda x: F.transform(
+                b,
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+
+
 def salted_pairs_from_buckets(
     exploded: DataFrame,
     channel: str,
     nsalt: int,
     pair_cap_all: int = PAIR_CAP_ALL,
+    pair_cap_cross: int = PAIR_CAP_CROSS,
 ) -> DataFrame:
     """Size-aware skew-proof pair generation (see module docstring).
 
     Exhaustive (identical to the unsalted all-pairs enumeration) for every
-    bucket with <= pair_cap_all members; salted two-level star for hot
-    buckets, whose transitive closure equals the unsalted bucket's.
+    bucket with <= pair_cap_cross members — single-task collect_list below
+    pair_cap_all, triangulated cross-salt blocks between the caps — and a
+    salted two-level star only for ultra-hot buckets, whose transitive
+    closure equals the unsalted bucket's.
+
+    NOTE: reads `exploded` 4x (counts + three semi-joins); spill() any
+    UDF-computed input first or the UDF re-runs per read.
     """
+    if pair_cap_cross < pair_cap_all:
+        pair_cap_cross = pair_cap_all
     counts = exploded.groupBy(*_KEYS).agg(F.count(F.lit(1)).alias("_n"))
-    hot_keys = counts.filter(F.col("_n") > F.lit(pair_cap_all)).select(*_KEYS)
+    hot_keys = counts.filter(F.col("_n") > F.lit(pair_cap_cross)).select(*_KEYS)
     members = F.col("members")
     n = F.size(members)
 
@@ -139,7 +175,55 @@ def salted_pairs_from_buckets(
         .select("p.id_a", "p.id_b")
     )
 
-    # hot buckets: per-salt sub-buckets, every task bounded by ~bucket/nsalt
+    # mid buckets: exhaustive triangulated block all-pairs. Each member is
+    # replicated to nsalt (t1, t2) task keys; a task holds at most two salt
+    # groups (~2n/nsalt members) and emits either in-group all-pairs
+    # (t1 == t2) or the full cross product (t1 < t2), so every bucket pair is
+    # produced exactly once with NO hub mediation and no unbounded task.
+    mid_keys = counts.filter(
+        (F.col("_n") > F.lit(pair_cap_all)) & (F.col("_n") <= F.lit(pair_cap_cross))
+    ).select(*_KEYS)
+    salt = F.pmod(F.xxhash64("id"), F.lit(nsalt)).cast("int")
+    mid = (
+        exploded.join(mid_keys, _KEYS, "left_semi")
+        .withColumn("salt", salt)
+        .select(
+            *_KEYS,
+            "salt",
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nsalt - 1)),
+                    lambda t: F.struct(
+                        F.least(F.col("salt"), t).alias("t1"),
+                        F.greatest(F.col("salt"), t).alias("t2"),
+                    ),
+                )
+            ).alias("tk"),
+        )
+        .select(*_KEYS, F.col("tk.t1").alias("t1"), F.col("tk.t2").alias("t2"),
+                "salt", "id")
+        .groupBy(*_KEYS, "t1", "t2")
+        .agg(F.sort_array(F.collect_list(F.struct("salt", "id"))).alias("mem"))
+    )
+    grp_a = F.transform(
+        F.filter("mem", lambda m: m.salt == F.col("t1")), lambda m: m.id
+    )
+    grp_b = F.transform(
+        F.filter("mem", lambda m: m.salt == F.col("t2")), lambda m: m.id
+    )
+    mid_pairs = (
+        mid.select(
+            F.explode(
+                F.when(F.col("t1") == F.col("t2"), _all_pairs(grp_a)).otherwise(
+                    _cross_pairs(grp_a, grp_b)
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+
+    # ultra-hot buckets: per-salt sub-buckets, every task bounded by ~bucket/nsalt
     hot = exploded.join(hot_keys, _KEYS, "left_semi").withColumn(
         "salt", F.pmod(F.xxhash64("id"), F.lit(nsalt))
     )
@@ -168,7 +252,8 @@ def salted_pairs_from_buckets(
         .select("p.id_a", "p.id_b")
     )
     return (
-        small.unionByName(level1)
+        small.unionByName(mid_pairs)
+        .unionByName(level1)
         .unionByName(level2)
         .distinct()
         .withColumn("channel", F.lit(channel))

@@ -98,16 +98,19 @@ def simhash_candidate_pairs(
     Bucket on (block_idx, block_value): pigeonhole guarantees every pair
     within hamming_max shares a block. Pair generation goes through the
     size-aware salted bucket machinery shared with the MinHash channel
-    (operators/lsh): blocks holding <= pair_cap_all docs — the normal case —
-    are enumerated exhaustively, so the pigeonhole guarantee carries through
-    to the emitted pair set; a hot block (block values are only 16-bit, so at
-    web scale a block holds ~n/2^16 docs and an uncapped self-join would
-    explode quadratically) falls back to the salted star, where pairs inside
-    it are only hub-connected and must survive the Hamming cut + Jaccard
-    verification through their hubs — the explicit hot-bucket recall
-    tradeoff documented in operators/lsh (surfaced via hot_buckets, never
-    silent). The Hamming-distance cut is applied per generated pair (exact
-    Jaccard verification re-filters after).
+    (operators/lsh): blocks holding <= pair_cap_cross (1024) docs are
+    enumerated EXHAUSTIVELY — single-task all-pairs below pair_cap_all,
+    triangulated cross-salt blocks between the caps — so the pigeonhole
+    guarantee carries through to the emitted pair set with no hub mediation.
+    Only an ultra-hot block (block values are 16-bit, so at web scale a
+    block holds ~n/2^16 docs and an uncapped self-join would explode
+    quadratically) falls back to the salted star, where pairs inside it are
+    hub-connected and must survive the Hamming cut + Jaccard verification
+    through their hubs — the explicit ultra-hot recall tradeoff documented
+    in operators/lsh (surfaced via hot_buckets, never silent; planted-pair
+    test in tests/test_lsh_salting.py pins the exhaustive tier). The
+    Hamming-distance cut is applied per generated pair (exact Jaccard
+    verification re-filters after).
     """
     from dedup_spark.operators.lsh import salted_pairs_from_buckets
 

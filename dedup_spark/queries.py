@@ -1385,8 +1385,8 @@ ORACLE = {
         ),
         with_ids AS (
           SELECT user_id, ts,
-                 sum(new_session) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS session_seq
+                 (sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id))::BIGINT AS session_seq
           FROM ordered
         )
         SELECT user_id, session_seq, count(*) AS n_events,

@@ -26,10 +26,25 @@ def duck():
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize to the driver's dtype-sensitive hash semantics.
+
+    Integer widths are normalized to int64 (Spark int vs DuckDB BIGINT is
+    not a semantic difference), but int-vs-float is NOT coerced: a DuckDB
+    HUGEINT (windowed sum of BIGINT) arrives as float64 and must FAIL the
+    dtype check here, exactly as it fails the driver's value hash
+    (round-2 `q_event_sessions` escaped because this harness compared with
+    check_dtype=False).
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -57,7 +72,7 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, atol=1e-9)
 
 
 def test_oracle_keys_subset_of_queries():
@@ -75,6 +90,6 @@ def test_event_sessions_timezone_invariant(spark, duck):
             entrymod.queries()["q_event_sessions"](spark, SF_DIR).toPandas()
         )
         want = _canon(duck.sql(entrymod.oracle_sql()["q_event_sessions"]).df())
-        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+        pd.testing.assert_frame_equal(got, want, check_dtype=True, atol=1e-9)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)

@@ -92,14 +92,82 @@ def test_small_buckets_exhaustive_across_salts(spark):
     assert got == want  # all 66 pairs, no hub mediation
 
 
-def test_hot_bucket_pairs_bounded_and_connected(spark):
-    """Hot buckets (> cap) must not emit quadratic pairs but must stay one
-    component, with all pairs ordered/distinct."""
+def test_mid_bucket_exhaustive_across_salts(spark):
+    """Hot-but-not-ultra-hot buckets (pair_cap_all < n <= pair_cap_cross) are
+    enumerated EXHAUSTIVELY via the triangulated cross-salt blocks: every one
+    of the C(300,2) pairs is emitted directly, none is hub-mediated. This is
+    the round-2 recall-hole fix — two true near-dups in different salt groups
+    no longer depend on a hub doc surviving Hamming/Jaccard verification."""
     rows = [(0, 7, f"h{i:04d}") for i in range(300)]
     df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
-    out = salted_pairs_from_buckets(df, "x", nsalt=8).toPandas()
+    got = {
+        tuple(r)
+        for r in salted_pairs_from_buckets(df, "x", nsalt=8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    ids = sorted(r[2] for r in rows)
+    want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+    assert got == want  # all 44850 pairs, no hub mediation
+
+
+def test_ultra_hot_bucket_pairs_bounded_and_connected(spark):
+    """Ultra-hot buckets (> pair_cap_cross) must not emit quadratic pairs but
+    must stay one component, with all pairs ordered/distinct."""
+    rows = [(0, 7, f"h{i:04d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
+    out = salted_pairs_from_buckets(
+        df, "x", nsalt=8, pair_cap_cross=128
+    ).toPandas()
     # sub-buckets (~n/nsalt <= cap) do local all-pairs: bounded by n*cap/2
     # + hub closure, far below the full quadratic C(300,2)=44850
     assert len(out) <= 300 * 64 / 2 + 8 * 7 / 2
+    assert (out.id_a < out.id_b).all()
+    assert not out.duplicated(["id_a", "id_b"]).any()
     comps = _components(map(tuple, out[["id_a", "id_b"]].values))
     assert len(comps) == 1 and len(next(iter(comps))) == 300
+
+
+def test_planted_hot_block_cross_salt_near_pair_survives(spark):
+    """Round-2 VERDICT planted test: a hot SimHash block (> pair_cap_all
+    members) where the only true near-pair spans salt groups and every
+    potential hub is Hamming-far from both. The pair must be emitted
+    DIRECTLY by the generator and survive the Hamming cut."""
+    import dedup_spark.plans.pipeline as plans
+    from dedup_spark.config import DedupConfig
+
+    cfg = DedupConfig()
+    # pick two ids in DIFFERENT salt groups (the star topology's blind spot)
+    salts = {
+        r.id: r.salt
+        for r in spark.range(100)
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(cfg.bucket_salts)).alias("salt"))
+        .collect()
+    }
+    # a = overall min id (a hub under the old star topology); b = the MAX id
+    # of a different salt group, i.e. NOT its group's hub — under the round-2
+    # star code the (a, b) pair could only arise hub-mediated, so this test
+    # fails without the exhaustive mid tier.
+    a = 0
+    b = max(i for i in range(1, 100) if salts[i] != salts[a])
+    # 100 docs sharing SimHash block 0 (low 16 bits all zero). Docs a and b
+    # differ by exactly one bit in each of blocks 1, 2, 3 (hamming=3), so
+    # block 0 is their ONLY shared block; every decoy differs from both in
+    # ~16+ upper bits, so any hub star path through a third doc fails
+    # hamming<=3 — the pair must be emitted directly.
+    base = 0x5A5A_A5A5_0000_0000
+    near = base ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)
+    sims = {a: base, b: near}
+    for i in range(100):
+        if i not in sims:
+            # unique far-away upper bits; low 16 bits zero keeps them co-blocked
+            sims[i] = ((i * 0x9E3779B9) << 16) & ((1 << 64) - 1)
+    df = spark.createDataFrame(
+        [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in sims.items()],
+        "id long, simhash long",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in plans.simhash_candidate_pairs(df, cfg).collect()
+    }
+    assert (min(a, b), max(a, b)) in got
