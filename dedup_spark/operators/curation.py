@@ -18,9 +18,10 @@ Scale notes (100 TB):
 - decontaminate: the eval shingle set is broadcast (eval benchmarks are
   MBs, not TBs) — the 100 TB train side never shuffles except the final
   per-doc count, which combines map-side.
-- pack_tokens: the running-offset window partitions by shard, so packing
-  parallelizes across shards and never funnels the corpus through one
-  partition; within-shard order is the semantic contract of packing.
+- pack_tokens: two-phase distributed prefix sum over a (shard, id) range
+  partitioning — local running sums bounded by partition size, tiny
+  subtotal table broadcast back — so packing never funnels a shard
+  through one task; within-shard order is the semantic contract of packing.
 - stratified_sample: one map-side-combining aggregation for shard token
   totals, a broadcast of the tiny rate table back, a stateless filter —
   the corpus is scanned once and never shuffled.
@@ -325,15 +326,46 @@ def pack_tokens(
     concat-then-chunk layout). A doc belongs to the pack where its first
     token lands; pack_pos is that offset within the pack.
 
-    One window per shard — packing parallelizes across shards (sources /
-    dump partitions) instead of imposing a global total order, which is
-    the only packing layout that survives 100 TB.
+    Two-phase distributed prefix sum — the round-2 plan
+    (``Window.partitionBy(shard)``) funneled an ENTIRE shard through one
+    task, a multi-TB single-partition sort at 100 TB with O(10) sources:
+
+      1. range-partition on (shard, id) — id order within a shard maps to
+         partition order — and take local running sums per
+         (partition, shard) window, whose group size is bounded by the
+         range partition (~maxPartitionBytes), never by the shard;
+      2. aggregate per-(partition, shard) subtotals (P x shards tiny rows),
+         turn them into cumulative shard offsets with a window over that
+         tiny table, and broadcast-join the offsets back.
+
+    start = shard_offset(partition) + local_running_sum - n_tokens, identical
+    to the single-window result for every row. pack_id uses integer `div`
+    (never float division) so the integer-only bit-exactness contract vs the
+    DuckDB `//` oracle is literal, not a <2^53 accident.
     """
     n_tok = F.size(tokens(text_col)).cast("long")
-    w = Window.partitionBy(shard_col).orderBy(id_col)
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return (
+    t = (
         docs.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
-        .withColumn("pack_id", F.floor(start / F.lit(budget)))
-        .withColumn("pack_pos", start % F.lit(budget))
+        .repartitionByRange(F.col(shard_col), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid", shard_col).orderBy(id_col)
+    t = t.withColumn("_local_end", F.sum("n_tokens").over(wloc))
+    # subtotal per (partition, shard) == the group's final running sum; built
+    # FROM the windowed stream so both consumers share one exchange and one
+    # tokenize pass, and the _pid assignment is structurally identical.
+    subs = t.groupBy("_pid", shard_col).agg(F.max("_local_end").alias("_sub"))
+    woff = Window.partitionBy(shard_col).orderBy("_pid")
+    offs = subs.select(
+        "_pid",
+        shard_col,
+        (F.sum("_sub").over(woff) - F.col("_sub")).alias("_off"),
+    )
+    start = F.col("_off") + F.col("_local_end") - F.col("n_tokens")
+    return (
+        t.join(F.broadcast(offs), ["_pid", shard_col])
+        .withColumn("_start", start)
+        .withColumn("pack_id", F.expr(f"_start div {int(budget)}"))
+        .withColumn("pack_pos", F.col("_start") % F.lit(budget))
+        .select(id_col, shard_col, "n_tokens", "pack_id", "pack_pos")
     )

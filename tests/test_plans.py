@@ -115,14 +115,26 @@ def test_curation_paths_have_no_cartesian_product(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_pack_tokens_single_exchange_per_shard_window(spark):
-    """Packing partitions by shard: ONE exchange (the shard window), no
-    global total order anywhere in the plan."""
+def test_pack_tokens_two_phase_prefix_sum_no_shard_funnel(spark):
+    """Packing must never sort a whole shard in one task (the round-2 plan's
+    Window.partitionBy(source) funnel): the plan carries a RANGE exchange on
+    (source, doc_id) with local windows keyed by (partition, source), the
+    tiny offset table comes back as a broadcast join, and no Window node
+    partitions by the bare shard column over the full data."""
     from dedup_spark.queries import QUERIES
 
     plan = plan_of(QUERIES["c4_pack_tokens"](spark, SF_DIR))
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
-    assert "rangepartitioning" not in plan, plan
+    assert re.search(r"rangepartitioning\(source#\d+ ASC", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the old funnel was windowspecdefinition(source, doc_id ...): a full-data
+    # window partitioned by the bare shard. The only windows allowed now are
+    # (_pid, source) over the data and (source, _pid) over the tiny subtotal
+    # aggregate.
+    assert not re.search(r"windowspecdefinition\(source#\d+, doc_id", plan), plan
+    specs = re.findall(r"windowspecdefinition\((_\w+|\w+)#\d+, (\w+)#\d+", plan)
+    assert specs, plan
+    for first, second in specs:
+        assert (first, second) in {("_pid", "source"), ("source", "_pid")}, plan
 
 
 def test_stratified_sample_one_agg_plus_broadcast(spark):
