@@ -102,7 +102,8 @@ def main() -> None:
     QUERIES["pipeline_end_to_end"](spark, sf_dir).count()
     rerun = round(time.perf_counter() - t0, 3)
     print(f"# pipeline_end_to_end rerun: {rerun:.2f}s", file=sys.stderr)
-    timings["pipeline_end_to_end"] = min(timings["pipeline_end_to_end"], rerun)
+    headline_runs = [timings["pipeline_end_to_end"], rerun]
+    timings["pipeline_end_to_end"] = min(headline_runs)
 
     # N9 checkpoint/resume: cold run computes every stage, warm run replays
     # them all from markers — the warm/cold gap is the resume win the
@@ -137,6 +138,11 @@ def main() -> None:
                 "value": docs_per_sec,
                 "unit": "docs/sec",
                 "queries": timings,
+                # headline provenance: the published value is best-of-N on a
+                # host that drifts 2-3x between windows; all raw runs are
+                # recorded so cross-round comparisons stay apples-to-apples
+                "headline_stat": f"best-of-{len(headline_runs)}",
+                "headline_runs": headline_runs,
                 "sf": sf,
                 "n_docs": n_docs,
                 "cores": int(cpus),

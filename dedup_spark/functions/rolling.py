@@ -80,12 +80,16 @@ def doc_fingerprints(
     MinHash/SimHash channels.
     """
     g = max(2, min_run_tokens - winnow_w + 1)
+    empty = np.empty(0, dtype=np.int64)
     out = []
     for arr in token_hash_arrays:
         if arr is None or len(arr) == 0:
-            out.append([])
+            out.append(empty)
             continue
         wh = window_hashes(np.asarray(arr, dtype=np.int64), g)
         fp = winnow(wh, winnow_w)
-        out.append(fp.view(np.int64).tolist())
+        # hand Arrow an ndarray view, never a Python list (measured rule:
+        # list conversion dominates the batch at scale; signature_batch
+        # does the same)
+        out.append(fp.view(np.int64))
     return pd.Series(out)

@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 
 def assign_dense_ids(
-    df: DataFrame, id_col: str = "url", out_col: str = "nid", partitions: int | None = None
+    df: DataFrame,
+    id_col: str = "url",
+    out_col: str = "nid",
+    partitions: int | None = None,
+    max_rows_per_partition: int = 1 << 33,
 ) -> DataFrame:
     """Add a unique long `out_col` whose order follows id_col sort order.
 
@@ -44,10 +48,32 @@ def assign_dense_ids(
     recompute identical values) but are partitioning-dependent across runs —
     every externally visible output keys on the url, so results are
     partition-count invariant (SURVEY.md §2.8 #2) regardless.
+
+    The 2^33-rows-per-partition capacity bound of
+    monotonically_increasing_id is ENFORCED, not just documented: a per-row
+    guard (pipelined JVM expression, no extra scan or job) raises if a
+    range partition overflows its id space — overflow would silently bleed
+    ids into the next partition's range and break both uniqueness and
+    order. `max_rows_per_partition` exists so tests can force a tiny bound.
     """
     n_parts = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    rid = F.monotonically_increasing_id()
+    # upper 31 bits = partition id, lower 33 = row-in-partition; overflow
+    # manifests as high bits != spark_partition_id()
+    ok = (
+        F.shiftrightunsigned(rid, 33) == F.spark_partition_id().cast("long")
+    ) & (rid.bitwiseAND(F.lit((1 << 33) - 1)) < F.lit(max_rows_per_partition))
+    guarded = F.when(ok, rid).otherwise(
+        F.raise_error(
+            F.lit(
+                "assign_dense_ids: a range partition exceeded "
+                f"{max_rows_per_partition} rows (monotonically_increasing_id "
+                "id-space overflow); raise `partitions`"
+            )
+        )
+    )
     return (
         df.repartitionByRange(int(n_parts), F.col(id_col))
         .sortWithinPartitions(id_col)
-        .withColumn(out_col, F.monotonically_increasing_id())
+        .withColumn(out_col, guarded)
     )

@@ -250,12 +250,14 @@ def run_dedup_checkpointed(
         )
         .collect()
     )
-    parts = [r[0] for r in fp_rows]
+    # sorted at creation: collect() order is nondeterministic across runs,
+    # and stage processing / progress-log order should be stable
+    parts = sorted(r[0] for r in fp_rows)
     fps = {r[0]: f"n={r['n']},h={r['h']}" for r in fp_rows}
 
     prepared = run.partitioned_stage(
         "prepared",
-        sorted(parts),
+        parts,
         lambda p: ingest_pages(pages.filter(F.col(partition_col) == p), config)
         .select(
             "url", "warc_ts", "text", "lang",
@@ -265,7 +267,7 @@ def run_dedup_checkpointed(
         fps,
     )
 
-    combined_fp = "|".join(f"{p}:{fps[p]}" for p in sorted(parts))
+    combined_fp = "|".join(f"{p}:{fps[p]}" for p in parts)
     members = run.stage(
         "members",
         lambda: _global_dedup(prepared, config),

@@ -294,6 +294,95 @@ def n5_simhash(spark, sf_dir):
     return _doc_features(spark, sf_dir).select("doc_id", "simhash")
 
 
+# N4 recall evidence (driver-graded): the MinHash-LSH channel's recall
+# against the EXACT truth set is SQL-expressible even though its digests are
+# not. Truth = all pairs with shingle-Jaccard >= 0.7 (DuckDB computes the
+# same set from string shingles — hash-set Jaccard == string-shingle Jaccard,
+# equivalence unit-tested); misses = truth anti-joined with the channel's
+# banded candidates. The oracle predicts (N, 0): at 32x4 banding the per-pair
+# miss probability at J = 0.7 is (1 - 0.7^4)^32 ~ 1.6e-4 and the fixed-seed
+# signatures are deterministic, so the count is stable, and a regression in
+# signatures, banding, or the salted generator turns the row red.
+def n4_recall_vs_oracle(spark, sf_dir, threshold: float = 0.7):
+    from dedup_spark.operators.lsh import salted_pairs_from_buckets
+    from dedup_spark.plans.pipeline import spill
+
+    feats = spill(
+        _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes", "bands"),
+        CFG,
+        "n4r_feats",
+    )
+    sh = feats.select("doc_id", "shingle_hashes")
+    # exact truth: shared-shingle candidates (J > 0 implies a shared shingle)
+    ex = sh.select(
+        F.col("doc_id").alias("id"),
+        F.lit(0).alias("band_idx"),
+        F.explode("shingle_hashes").alias("band_key"),
+    )
+    cand = salted_pairs_from_buckets(
+        ex, channel="truth", nsalt=CFG.bucket_salts
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.round(inter.cast("double") / union, 4) >= F.lit(threshold))
+        .select("doc_a", "doc_b")
+    )
+    # the channel under test: MinHash band-bucket candidates
+    banded = feats.select(F.col("doc_id").alias("id"), F.col("bands").alias("band_keys"))
+    lsh_cand = lsh_candidate_pairs(banded, CFG).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    missed = truth.join(lsh_cand, ["doc_a", "doc_b"], "left_anti")
+    return truth.agg(F.count(F.lit(1)).alias("n_true_pairs")).crossJoin(
+        missed.agg(F.count(F.lit(1)).alias("n_missed_by_lsh"))
+    )
+
+
+# N5 recall evidence (driver-graded): the SimHash channel's pigeonhole
+# guarantee — every pair within Hamming distance <= hamming_max of each other
+# IS emitted by block probing + the size-aware salted generator. The truth
+# set (brute-force Hamming pairs) is engine-internal (simhash digests have no
+# DuckDB equivalent), so the oracle checks the CLAIM (zero misses) while the
+# truth side is computed honestly in Spark; non-vacuity (truth set non-empty
+# on corpora with dups) is pinned by pytest. This row going red means the
+# exhaustiveness of the bucket machinery broke — exactly the round-2
+# hot-block hub recall hole, now driver-visible.
+def n5_recall_vs_oracle(spark, sf_dir):
+    from dedup_spark.functions.simhash import hamming_distance
+    from dedup_spark.plans.pipeline import simhash_candidate_pairs, spill
+
+    sims = spill(
+        _doc_features(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), "simhash"
+        ),
+        CFG,
+        "n5r_sims",
+    )
+    # brute-force truth: all pairs within the Hamming ball (quadratic by
+    # definition — contract-scale evidence, not a scale path)
+    a = sims.select(F.col("id").alias("doc_a"), F.col("simhash").alias("_sa"))
+    b = sims.select(F.col("id").alias("doc_b"), F.col("simhash").alias("_sb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            hamming_distance(F.col("_sa"), F.col("_sb"))
+            <= F.lit(CFG.simhash_hamming_max)
+        )
+        .select("doc_a", "doc_b")
+    )
+    probe = simhash_candidate_pairs(sims, CFG).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    missed = truth.join(probe, ["doc_a", "doc_b"], "left_anti")
+    return missed.agg(F.count(F.lit(1)).alias("n_missed_by_probe"))
+
+
 # Full pipeline over documents (rows-only; the flagship end-to-end run)
 def documents_as_pages(spark, sf_dir):
     """Adapt the driver documents table to the input_hint pages schema."""
@@ -840,7 +929,9 @@ QUERIES = {
     "n8_connected_components": n8_connected_components,
     "n3_minhash_signatures": n3_minhash_signatures,
     "n4_lsh_candidate_pairs": n4_lsh_candidate_pairs,
+    "n4_recall_vs_oracle": n4_recall_vs_oracle,
     "n5_simhash": n5_simhash,
+    "n5_recall_vs_oracle": n5_recall_vs_oracle,
     "n10_hot_buckets": n10_hot_buckets,
     "n9_checkpoint_resume": n9_checkpoint_resume,
     "s9_stream_ingest": s9_stream_ingest,
@@ -1105,6 +1196,29 @@ ORACLE = {
         WHERE round(len(list_intersect(sa.s, sb.s)) /
                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE,
               4) >= 0.2
+    """,
+    "n4_recall_vs_oracle": f"""
+        WITH sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        truth AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+          WHERE round(len(list_intersect(sa.s, sb.s)) /
+                      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE,
+                4) >= 0.7
+        )
+        SELECT count(*)::BIGINT AS n_true_pairs,
+               0::BIGINT AS n_missed_by_lsh
+        FROM truth
+    """,
+    "n5_recall_vs_oracle": """
+        SELECT 0::BIGINT AS n_missed_by_probe
     """,
     "n8_connected_components": f"""
         WITH RECURSIVE

@@ -93,3 +93,22 @@ def test_event_sessions_timezone_invariant(spark, duck):
         pd.testing.assert_frame_equal(got, want, check_dtype=True, atol=1e-9)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_n5_recall_truth_set_nonvacuous(spark):
+    """n5_recall_vs_oracle's oracle is a constant-0 claim; this guards the
+    vacuous-pass case by asserting the Hamming-ball truth set is non-empty
+    on sf0.001 (which has planted exact dups -> identical simhashes)."""
+    from dedup_spark import queries as q
+    from pyspark.sql import functions as F
+
+    sims = q._doc_features(spark, SF_DIR).select("doc_id", "simhash")
+    a = sims.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    n_true = (
+        a.crossJoin(b)
+        .filter(F.col("da") < F.col("db"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .count()
+    )
+    assert n_true > 0

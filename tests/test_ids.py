@@ -26,3 +26,19 @@ def test_min_nid_selects_min_url(spark):
     assert got == "a"
     hub = out.agg(F.min_by("url", "nid")).first()[0]
     assert hub == "a"
+
+
+def test_capacity_bound_enforced(spark):
+    """The 2^33-rows-per-partition id-space bound is enforced at runtime:
+    forcing a tiny bound with an overfull partition must raise, not bleed
+    ids into the next partition's range."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [(f"u{i:05d}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "url string")
+    with pytest.raises(Exception) as ei:
+        assign_dense_ids(
+            df, "url", "nid", partitions=2, max_rows_per_partition=4
+        ).collect()
+    assert "id-space overflow" in str(ei.value) or "exceeded" in str(ei.value)
