@@ -52,8 +52,21 @@ class DedupConfig:
     # --- SimHash (N5) ---
     simhash_bits: int = 64
     # max Hamming distance considered near-dup; probing splits the 64-bit key
-    # into (hamming_max + 1) blocks so any pair within distance shares a block.
+    # into (hamming_max + key_blocks) blocks and keys each bucket on a
+    # c=key_blocks block combination (Manku/Jain/Das Sarma, WWW 2007,
+    # "Detecting Near-Duplicates for Web Crawling"): any pair within
+    # hamming_max corrupts at most hamming_max blocks, leaving >= key_blocks
+    # clean ones, so at least one of the C(m, c) combined keys matches.
     simhash_hamming_max: int = 3
+    # key_blocks=1 -> classic 4x16-bit block probing (4 probe tables, 16-bit
+    # keys: at 10^12 docs a bucket holds ~n/2^16 docs — every bucket is
+    # ultra-hot). key_blocks=3 -> 20 probe tables with ~32-bit keys: buckets
+    # shrink ~2^16x, landing inside the exhaustive pair-generation tiers at
+    # web scale. More probe rows per doc (C(6,3)=20 vs 4) buys bounded
+    # buckets — the Manku trade. Candidate semantics are IDENTICAL after the
+    # Hamming cut (equivalence is property-tested); only bucket granularity
+    # changes.
+    simhash_key_blocks: int = 1
 
     # --- suffix-array channel (N6) ---
     suffix_min_run_tokens: int = 50
@@ -107,6 +120,14 @@ class DedupConfig:
             raise ValueError("shingle_k must be >= 1")
         if not (0.0 < self.jaccard_threshold <= 1.0):
             raise ValueError("jaccard_threshold in (0, 1]")
+        if self.simhash_key_blocks < 1:
+            raise ValueError("simhash_key_blocks must be >= 1")
+        m = self.simhash_hamming_max + self.simhash_key_blocks
+        if m > self.simhash_bits:
+            raise ValueError(
+                f"hamming_max({self.simhash_hamming_max}) + key_blocks"
+                f"({self.simhash_key_blocks}) exceeds simhash_bits"
+            )
 
     @property
     def lsh_theta(self) -> float:

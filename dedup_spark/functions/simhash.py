@@ -77,23 +77,46 @@ def simhash_udf(config: DedupConfig):
 
 
 def simhash_blocks(sim: Column | str, config: DedupConfig) -> Column:
-    """array<long> of block values for Hamming probing (JVM-side).
+    """array<long> of probe-key values for Hamming probing (JVM-side).
 
-    n_blocks = hamming_max + 1 blocks of 64 // n_blocks bits each (the last
-    block absorbs the remainder bits).
+    Multi-index probing (Manku/Jain/Das Sarma, WWW 2007): the 64-bit
+    fingerprint splits into m = hamming_max + key_blocks blocks; each probe
+    key concatenates one c = key_blocks block combination, giving C(m, c)
+    keys. Any pair within Hamming distance <= hamming_max corrupts at most
+    hamming_max blocks, so >= c blocks stay clean and at least one combined
+    key matches — the pigeonhole guarantee, generalized.
+
+    key_blocks=1 degenerates to the classic one-key-per-block scheme
+    (m = hamming_max + 1 blocks of 64 // m bits). Larger key_blocks buys
+    exponentially finer buckets (key width ~ c * 64/m bits) for C(m, c)
+    probe rows per doc — the knob that keeps web-scale block buckets inside
+    the exhaustive pair-generation tiers. All ops are bit shifts/masks in
+    whole-stage codegen; the array position is the probe-table index
+    (posexplode's band_idx).
     """
+    from itertools import combinations
+
     c = F.col(sim) if isinstance(sim, str) else sim
-    n_blocks = config.simhash_hamming_max + 1
+    kb = config.simhash_key_blocks
+    n_blocks = config.simhash_hamming_max + kb
     width = 64 // n_blocks
-    blocks = []
+    block_vals = []
+    widths = []
     for i in range(n_blocks):
         lo = i * width
         w = 64 - lo if i == n_blocks - 1 else width
         mask = (1 << w) - 1
-        blocks.append(
-            F.shiftrightunsigned(c, lo).bitwiseAND(F.lit(mask))
-        )
-    return F.array(*blocks)
+        block_vals.append(F.shiftrightunsigned(c, lo).bitwiseAND(F.lit(mask)))
+        widths.append(w)
+    keys = []
+    for combo in combinations(range(n_blocks), kb):
+        key = block_vals[combo[0]]
+        shift = widths[combo[0]]
+        for b in combo[1:]:
+            key = key.bitwiseOR(F.shiftleft(block_vals[b], shift))
+            shift += widths[b]
+        keys.append(key)
+    return F.array(*keys)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -26,8 +26,10 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,6 +73,7 @@ class CheckpointedRun:
         os.makedirs(os.path.join(root, "_markers"), exist_ok=True)
         self.replayed: list[str] = []  # stages served from checkpoint
         self.computed: list[str] = []  # stages actually executed
+        self._lock = threading.Lock()  # metrics.jsonl + state lists
 
     # -- marker plumbing ----------------------------------------------------
     def _stage_path(self, name: str) -> str:
@@ -95,7 +98,10 @@ class CheckpointedRun:
         with open(tmp, "w") as f:
             json.dump(asdict(rec), f)
         os.replace(tmp, p)
-        with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
+        # metrics.jsonl is append-shared across concurrently-finishing
+        # partitions (row ORDER is completion order; the table is read back
+        # order-free as a DataFrame)
+        with self._lock, open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
             row = asdict(rec)
             row["docs_per_sec"] = round(rec.rows / rec.wall_s, 2) if rec.wall_s else None
             f.write(json.dumps(row) + "\n")
@@ -147,6 +153,7 @@ class CheckpointedRun:
         partitions: list[str],
         build,  # (partition_value) -> DataFrame
         input_fingerprints: dict[str, str],
+        max_parallel: int = 8,
     ) -> DataFrame:
         """Per-partition resumable stage: each partition is computed, written,
         and marked independently; a resumed run replays finished partitions
@@ -172,6 +179,7 @@ class CheckpointedRun:
             for mfile in os.listdir(marker_dir):
                 if mfile.endswith(".json") and mfile not in keep_markers:
                     os.remove(os.path.join(marker_dir, mfile))
+        todo: list[str] = []
         for part in partitions:
             fp = input_fingerprints[part]
             marker = self._read_marker(name, part)
@@ -179,6 +187,11 @@ class CheckpointedRun:
             if marker and marker["fingerprint"] == fp and os.path.exists(part_path):
                 self.replayed.append(f"{name}/{part}")
                 continue
+            todo.append(part)
+
+        def _compute(part: str) -> None:
+            fp = input_fingerprints[part]
+            part_path = os.path.join(base, f"part={part}")
             t0 = time.perf_counter()
             df = build(part)
             self._atomic_write(df, part_path)
@@ -187,7 +200,20 @@ class CheckpointedRun:
                 StageRecord(name, part, rows, round(time.perf_counter() - t0, 3),
                             fp, time.time())
             )
-            self.computed.append(f"{name}/{part}")
+
+        # stale/missing partitions compute CONCURRENTLY (bounded pool): each
+        # partition's job is small relative to the cluster, so serial
+        # submission leaves executors idle — at O(1000) input partitions this
+        # is the difference between a full cluster and a one-job trickle.
+        # Spark schedules concurrent actions on one session natively; markers
+        # stay per-partition atomic, so a failure still preserves every
+        # completed partition for resume. Raises the first failure.
+        if todo:
+            with ThreadPoolExecutor(
+                max_workers=min(max_parallel, len(todo))
+            ) as pool:
+                list(pool.map(_compute, todo))
+            self.computed.extend(f"{name}/{p}" for p in todo)
         # read the stage root: part= dirs are discovered as a partition
         # column, _staging_* leftovers are ignored by the reader
         return self.spark.read.parquet(base).drop("part")
