@@ -171,3 +171,43 @@ def test_planted_hot_block_cross_salt_near_pair_survives(spark):
         for r in plans.simhash_candidate_pairs(df, cfg).collect()
     }
     assert (min(a, b), max(a, b)) in got
+
+
+def test_randomized_tier_sweep_matches_exhaustive_reference(spark):
+    """Property sweep: mixed bucket sizes spanning all three tiers in one
+    input. Every bucket at or below pair_cap_cross must be EXHAUSTIVE
+    (pair set equality with the n*(n-1)/2 reference); ultra-hot buckets
+    must be connectivity-equivalent with bounded pair counts."""
+    import itertools
+    import random
+
+    rng = random.Random(99)
+    sizes = [2, 3, 63, 64, 65, 100, 400, 1023]  # tier boundaries + interiors
+    rows, want_exhaustive = [], set()
+    next_id = 0
+    for b, size in enumerate(sizes):
+        ids = [f"x{next_id + i:06d}" for i in range(size)]
+        next_id += size
+        rng.shuffle(ids)
+        for i in ids:
+            rows.append((b % 3, 1000 + b, i))
+        want_exhaustive |= {
+            (a, c) for a, c in itertools.combinations(sorted(ids), 2)
+        }
+    # plus one ultra-hot bucket sharing some members with a small bucket
+    hot_ids = [f"x{next_id + i:06d}" for i in range(1100)]
+    for i in hot_ids:
+        rows.append((0, 9999, i))
+    df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
+    out = salted_pairs_from_buckets(df, "x", nsalt=8).toPandas()
+    got = {tuple(r) for r in out[["id_a", "id_b"]].values}
+    missing = want_exhaustive - got
+    assert not missing, f"{len(missing)} pairs missing from exhaustive tiers"
+    # ultra-hot bucket: connected, bounded
+    hot_pairs = [
+        (a, c) for a, c in got if a in set(hot_ids) and c in set(hot_ids)
+    ]
+    assert len(hot_pairs) < 1100 * 64  # far below C(1100,2) = 604,450
+    comps = _components(hot_pairs)
+    hot_comp = next(c for c in comps if hot_ids[0] in c)
+    assert set(hot_ids) <= hot_comp
