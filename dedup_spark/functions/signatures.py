@@ -46,6 +46,19 @@ SIGNATURE_SCHEMA = StructType(
     ]
 )
 
+# pipeline variant: the engine consumes only (shingle_hashes, simhash,
+# bands) — the raw 128-long signature is folded into band keys INSIDE the
+# UDF, so shipping it through Arrow (128 x 8 B per doc, ~1 GB per 10^6 docs)
+# just to have Catalyst prune the struct field afterwards is pure serde
+# waste. Contract queries that expose signatures (n3) use the full schema.
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("shingle_hashes", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+        StructField("bands", ArrayType(LongType())),
+    ]
+)
+
 # odd multiplier for the band-key polynomial mix (splitmix64 constant)
 _BAND_MIX = np.uint64(0xBF58476D1CE4E5B9)
 
@@ -131,12 +144,17 @@ def signature_batch(
     seed: int,
     bands: int,
     rows_per_band: int,
+    include_signature: bool = True,
 ) -> pd.DataFrame:
     """Pure-function batch used by the UDF (unit-testable without Spark).
 
     Stays numpy end-to-end: the per-doc arrays handed to Arrow are ndarray
     views, never Python lists — .tolist() on millions of values measured as
     the dominant cost of the whole signature stage.
+
+    ``include_signature=False`` computes the MinHash signatures (bands need
+    them) but leaves them out of the returned frame — the engine-facing
+    shape (see FEATURES_SCHEMA).
     """
     from dedup_spark.functions.minhash import minhash_from_flat
     from dedup_spark.functions.simhash import simhash_from_flat
@@ -145,24 +163,27 @@ def signature_batch(
     sigs = minhash_from_flat(sh_flat, sh_lengths, num_perm, seed)
     sims = simhash_from_flat(sh_flat, sh_lengths)
     bnd = band_keys_from_signatures(sigs, bands, rows_per_band)
-    return pd.DataFrame(
-        {
-            "shingle_hashes": sh_list,
-            "signature": list(sigs),
-            "simhash": sims,
-            "bands": list(bnd),
-        }
-    )
+    cols = {"shingle_hashes": sh_list}
+    if include_signature:
+        cols["signature"] = list(sigs)
+    cols["simhash"] = sims
+    cols["bands"] = list(bnd)
+    return pd.DataFrame(cols)
 
 
-def doc_signature_udf(config: DedupConfig):
+def doc_signature_udf(config: DedupConfig, include_signature: bool = True):
     """pandas UDF: array<long> token hashes -> struct(shingle_hashes,
-    signature, simhash, bands). One Python worker pass for all four."""
+    [signature,] simhash, bands). One Python worker pass for all of them;
+    pass include_signature=False on engine paths that never read the raw
+    signature so 128 longs/doc stay out of the Arrow transfer."""
     k, num_perm, seed = config.shingle_k, config.num_perm, config.minhash_seed
     b, r = config.lsh_bands, config.lsh_rows_per_band
+    schema = SIGNATURE_SCHEMA if include_signature else FEATURES_SCHEMA
 
-    @F.pandas_udf(SIGNATURE_SCHEMA)
+    @F.pandas_udf(schema)
     def _sig(tok: pd.Series) -> pd.DataFrame:
-        return signature_batch(tok, k, num_perm, seed, b, r)
+        return signature_batch(
+            tok, k, num_perm, seed, b, r, include_signature=include_signature
+        )
 
     return _sig

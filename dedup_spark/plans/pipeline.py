@@ -155,8 +155,14 @@ def candidate_and_verified_pairs(
         # round trip computing shingle hashes, MinHash signature, and SimHash
         # together (functions/signatures.py — interpreted Catalyst lambdas for
         # string shingling measured ~70x slower than this)
+        # include_signature=False: the raw 128-long signatures never leave
+        # the Python worker (bands are folded in-UDF) — ~1 GB less Arrow
+        # serde per 10^6 docs
         feats = docs.select(
-            "id", doc_signature_udf(config)(token_hashes("text")).alias("s")
+            "id",
+            doc_signature_udf(config, include_signature=False)(
+                token_hashes("text")
+            ).alias("s"),
         ).select("id", "s.shingle_hashes", "s.simhash", "s.bands")
         feats = spill(feats.filter(F.size("shingle_hashes") > 0), config, "feats")
         shingles = feats.select("id", "shingle_hashes")
