@@ -250,14 +250,21 @@ def f_fingerprint(spark, sf_dir):
     )
 
 
-# N2/N3/N5 fused features: the engine's hot path (one Arrow round trip)
-def _doc_features(spark, sf_dir):
+# N2/N3/N5 fused features: the engine's hot path (one Arrow round trip).
+# include_signature=False keeps the 128-long raw signature out of the Arrow
+# transfer — only n3 (which exposes signatures) needs it.
+def _doc_features(spark, sf_dir, include_signature=False):
     from dedup_spark.functions.signatures import doc_signature_udf, token_hashes
 
+    udf = doc_signature_udf(CFG, include_signature=include_signature)
+    fields = ["s.shingle_hashes"]
+    if include_signature:
+        fields.append("s.signature")
+    fields += ["s.simhash", "s.bands"]
     return (
         _docs(spark, sf_dir)
-        .select("doc_id", doc_signature_udf(CFG)(token_hashes("text")).alias("s"))
-        .select("doc_id", "s.shingle_hashes", "s.signature", "s.simhash", "s.bands")
+        .select("doc_id", udf(token_hashes("text")).alias("s"))
+        .select("doc_id", *fields)
         .filter(F.size("shingle_hashes") > 0)
     )
 
@@ -267,7 +274,7 @@ def _doc_features(spark, sf_dir):
 # every column through pandas, which cannot factorize array columns, so the
 # 128-long signature is posexploded instead of returned as array<long>.
 def n3_minhash_signatures(spark, sf_dir):
-    return _doc_features(spark, sf_dir).select(
+    return _doc_features(spark, sf_dir, include_signature=True).select(
         "doc_id", F.posexplode("signature").alias("perm_idx", "sig_value")
     )
 
