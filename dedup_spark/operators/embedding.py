@@ -126,7 +126,7 @@ def cosine_near_dup_pairs(
     udf = hyperplane_band_udf(dim, bands, rows_per_band, config.minhash_seed)
     banded = v.select("id", udf("v").alias("band_keys"))
     exploded = banded.select(
-        "id", F.posexplode("band_keys").alias("band_idx", "band_key")
+        "id", F.explode("band_keys").alias("band_key")
     )
     # spill the (id, band) rows once: the salted generator reads its input
     # 3x (bucket counts + two semi-joins); without materialization each read
@@ -310,7 +310,7 @@ def ann_topk(
     sharing any band bucket with the query. Shorter bands (r=4) trade
     precision of bucketing for recall of candidates; exact cosine rescoring
     restores ranking quality. Scale path: no cross join anywhere — two
-    explodes and an equi-join on (band_idx, band_key). The band join and the
+    explodes and an equi-join on the band-mixed key. The band join and the
     per-(query, id) dedup move only 8-byte ids (a 128-dim embedding is ~1 KB:
     carrying vectors through the b-way band explode would shuffle every
     vector b times); the deduped candidate list then fetches both vectors
@@ -320,16 +320,18 @@ def ann_topk(
     so rankings are comparable against oracles that sort rounded values.
     """
     udf = hyperplane_band_udf(dim, bands, rows_per_band, config.minhash_seed)
+    # band keys are band-mixed inside the UDF (index xored into the value),
+    # so the equi-join needs only the single long key
     vb = vectors.select(
         F.col(id_col).alias("id"),
-        F.posexplode(udf(vec_col)).alias("band_idx", "band_key"),
+        F.explode(udf(vec_col)).alias("band_key"),
     )
     qb = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.posexplode(udf("qv")).alias("band_idx", "band_key"),
+        F.explode(udf("qv")).alias("band_key"),
     )
     cand = (
-        qb.join(vb, ["band_idx", "band_key"])
+        qb.join(vb, ["band_key"])
         .filter(F.col("id") != F.col("query_id"))
         .select("query_id", "id")
         .dropDuplicates(["query_id", "id"])

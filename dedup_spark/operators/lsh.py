@@ -53,14 +53,23 @@ PAIR_CAP_ALL = 64  # all-pairs only below this bucket size: <= 2016 pairs/bucket
 # salted star caps quadratic blowup for degenerate boilerplate clusters.
 PAIR_CAP_CROSS = 1024
 
-_KEYS = ["band_idx", "band_key"]
+# Bucket key is the single long `band_key`. Every producer mixes the band /
+# probe-table index INTO the key value (MinHash band keys are seeded by band
+# index in band_keys_from_signatures, hyperplane keys xor the band index in,
+# SimHash block keys go through xxhash64(block_idx, value)), so carrying a
+# separate band_idx column through the generator's four reads and its counts
+# shuffle was 8 B/row of pure redundancy on the biggest shuffle in the
+# near-dup path. A spurious key collision across bands merely merges two
+# buckets — extra candidates that downstream Hamming/Jaccard verification
+# filters; recall can only gain.
+_KEYS = ["band_key"]
 
 
 def explode_bands(with_bands: DataFrame, id_col: str = "id") -> DataFrame:
-    """(id, band_keys: array<long>) -> (band_idx, band_key, id)."""
+    """(id, band_keys: array<long>) -> (band_key, id); keys are band-mixed."""
     return with_bands.select(
         F.col(id_col).alias("id"),
-        F.posexplode("band_keys").alias("band_idx", "band_key"),
+        F.explode("band_keys").alias("band_key"),
     )
 
 
@@ -89,9 +98,9 @@ def _star_pairs(members) -> F.Column:
 def pairs_from_buckets(
     exploded: DataFrame, channel: str, pair_cap_all: int | None = PAIR_CAP_ALL
 ) -> DataFrame:
-    """(band_idx, band_key, id) -> distinct candidate pairs (id_a < id_b).
+    """(band_key, id) -> distinct candidate pairs (id_a < id_b).
 
-    One shuffle: groupBy(band_idx, band_key) with sorted member lists; pairs
+    One shuffle: groupBy(band_key) with sorted member lists; pairs
     are generated inline with `transform`/`flatten` (whole-stage codegen), then
     a distinct over (id_a, id_b) dedups across buckets.
 
@@ -278,10 +287,16 @@ def hot_buckets(
     config: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "id",
 ) -> DataFrame:
-    """Report buckets above the all-pairs cap (N10: no silent caps)."""
-    exploded = explode_bands(with_bands, id_col)
+    """Report buckets above the all-pairs cap (N10: no silent caps).
+
+    Diagnostic path: keeps the explicit (band_idx, band_key) pair so a hot
+    bucket is attributable to its band."""
+    exploded = with_bands.select(
+        F.col(id_col).alias("id"),
+        F.posexplode("band_keys").alias("band_idx", "band_key"),
+    )
     return (
-        exploded.groupBy(*_KEYS)
+        exploded.groupBy("band_idx", "band_key")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .filter(F.col("n_members") > PAIR_CAP_ALL)
         .orderBy(F.col("n_members").desc())

@@ -142,7 +142,7 @@ def suffix_repeat_pairs(
 
     # hot buckets: salted star candidates + per-pair exact verification
     hot = exploded.join(hot_keys, "fp", "left_semi").select(
-        "id", F.lit(0).alias("band_idx"), F.col("fp").alias("band_key")
+        "id", F.col("fp").alias("band_key")
     )
     hot_cand = salted_pairs_from_buckets(
         hot, channel="suffix", nsalt=config.bucket_salts, pair_cap_all=cap

@@ -119,6 +119,11 @@ def simhash_candidate_pairs(
         F.posexplode(simhash_blocks("simhash", config)).alias(
             "band_idx", "band_key"
         ),
+    ).select(
+        "id",
+        # fold the probe-table index into the key: the generator buckets on
+        # ONE long (same block value in different blocks must not co-bucket)
+        F.xxhash64("band_idx", "band_key").alias("band_key"),
     )
     cand = salted_pairs_from_buckets(
         exploded, channel="simhash", nsalt=config.bucket_salts

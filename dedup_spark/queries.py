@@ -191,7 +191,6 @@ def n7_jaccard_pairs(spark, sf_dir, threshold: float = 0.2):
     )
     ex = sh.select(
         F.col("doc_id").alias("id"),
-        F.lit(0).alias("band_idx"),
         F.explode("shingle_hashes").alias("band_key"),
     )
     cand = salted_pairs_from_buckets(
@@ -323,7 +322,6 @@ def n4_recall_vs_oracle(spark, sf_dir, threshold: float = 0.7):
     # exact truth: shared-shingle candidates (J > 0 implies a shared shingle)
     ex = sh.select(
         F.col("doc_id").alias("id"),
-        F.lit(0).alias("band_idx"),
         F.explode("shingle_hashes").alias("band_key"),
     )
     cand = salted_pairs_from_buckets(

@@ -36,14 +36,14 @@ def exploded(spark):
     # 3 buckets: tiny (2), medium (10), hot (300 members)
     rows = []
     for i in range(2):
-        rows.append((0, 100, f"a{i:04d}"))
+        rows.append((100, f"a{i:04d}"))
     for i in range(10):
-        rows.append((0, 200, f"b{i:04d}"))
+        rows.append((200, f"b{i:04d}"))
     for i in range(300):
-        rows.append((1, 300, f"c{i:04d}"))
+        rows.append((300, f"c{i:04d}"))
     # one doc in two buckets (cross-bucket bridge)
-    rows.append((0, 200, "c0000"))
-    df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
+    rows.append((200, "c0000"))
+    df = spark.createDataFrame(rows, "band_key long, id string")
     df.persist().count()
     return df
 
@@ -62,7 +62,7 @@ def test_salted_task_bound(exploded):
     """No sub-bucket member list exceeds ~bucket/nsalt (the OOM guard)."""
     salted = exploded.withColumn("salt", F.pmod(F.xxhash64("id"), F.lit(8)))
     sizes = (
-        salted.groupBy("band_idx", "band_key", "salt")
+        salted.groupBy("band_key", "salt")
         .count()
         .agg(F.max("count"))
         .collect()[0][0]
@@ -79,15 +79,15 @@ def test_small_buckets_exhaustive_across_salts(spark):
     """Regression for the cross-salt recall hole: two docs co-bucketed in a
     sub-cap bucket must be paired DIRECTLY even when their per-id salts
     differ — enumeration below pair_cap_all is exhaustive, not star-closed."""
-    rows = [(0, 100, f"d{i:03d}") for i in range(12)]
-    df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
+    rows = [(100, f"d{i:03d}") for i in range(12)]
+    df = spark.createDataFrame(rows, "band_key long, id string")
     got = {
         tuple(r)
         for r in salted_pairs_from_buckets(df, "x", nsalt=8)
         .select("id_a", "id_b")
         .collect()
     }
-    ids = sorted(r[2] for r in rows)
+    ids = sorted(r[1] for r in rows)
     want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
     assert got == want  # all 66 pairs, no hub mediation
 
@@ -98,15 +98,15 @@ def test_mid_bucket_exhaustive_across_salts(spark):
     of the C(300,2) pairs is emitted directly, none is hub-mediated. This is
     the round-2 recall-hole fix — two true near-dups in different salt groups
     no longer depend on a hub doc surviving Hamming/Jaccard verification."""
-    rows = [(0, 7, f"h{i:04d}") for i in range(300)]
-    df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
+    rows = [(7, f"h{i:04d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "band_key long, id string")
     got = {
         tuple(r)
         for r in salted_pairs_from_buckets(df, "x", nsalt=8)
         .select("id_a", "id_b")
         .collect()
     }
-    ids = sorted(r[2] for r in rows)
+    ids = sorted(r[1] for r in rows)
     want = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
     assert got == want  # all 44850 pairs, no hub mediation
 
@@ -114,8 +114,8 @@ def test_mid_bucket_exhaustive_across_salts(spark):
 def test_ultra_hot_bucket_pairs_bounded_and_connected(spark):
     """Ultra-hot buckets (> pair_cap_cross) must not emit quadratic pairs but
     must stay one component, with all pairs ordered/distinct."""
-    rows = [(0, 7, f"h{i:04d}") for i in range(300)]
-    df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
+    rows = [(7, f"h{i:04d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "band_key long, id string")
     out = salted_pairs_from_buckets(
         df, "x", nsalt=8, pair_cap_cross=128
     ).toPandas()
@@ -190,15 +190,15 @@ def test_randomized_tier_sweep_matches_exhaustive_reference(spark):
         next_id += size
         rng.shuffle(ids)
         for i in ids:
-            rows.append((b % 3, 1000 + b, i))
+            rows.append((1000 + b, i))
         want_exhaustive |= {
             (a, c) for a, c in itertools.combinations(sorted(ids), 2)
         }
     # plus one ultra-hot bucket sharing some members with a small bucket
     hot_ids = [f"x{next_id + i:06d}" for i in range(1100)]
     for i in hot_ids:
-        rows.append((0, 9999, i))
-    df = spark.createDataFrame(rows, "band_idx int, band_key long, id string")
+        rows.append((9999, i))
+    df = spark.createDataFrame(rows, "band_key long, id string")
     out = salted_pairs_from_buckets(df, "x", nsalt=8).toPandas()
     got = {tuple(r) for r in out[["id_a", "id_b"]].values}
     missing = want_exhaustive - got
