@@ -246,8 +246,11 @@ def run_dedup(
         ingested.select(
             "url",
             "text",
+            # try_cast: a source with no trailing digits (e.g. a WARC
+            # segment file name) must rank 0, not throw under ANSI cast
             F.coalesce(
-                F.regexp_extract("source", r"(\d+)$", 1).cast("int"), F.lit(0)
+                F.regexp_extract("source", r"(\d+)$", 1).try_cast("int"),
+                F.lit(0),
             ).alias("source_rank"),
             "warc_ts",
             F.length("text").cast("long").alias("doc_bytes"),
