@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--plan", default=None,
                     help="plan table path for --action apply (written by "
                          "--action plan, optionally edited)")
+    ap.add_argument("--input-format", default="table",
+                    choices=["table", "warc", "jsonl"],
+                    help="'table' (Iceberg name or parquet path, default), "
+                         "'warc' (Common Crawl archives), or 'jsonl' "
+                         "(one page object per line)")
     ap.add_argument("--channels", default="exact,minhash,simhash")
     ap.add_argument("--partition-col", default="source")
     ap.add_argument("--master", default=None)
@@ -120,11 +125,20 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     else:
         if not args.input:
             ap.error("--input or --synthetic required")
-        pages = (
-            spark.read.format("iceberg").load(args.input)
-            if "." in args.input and "/" not in args.input
-            else spark.read.parquet(args.input)
-        )
+        if args.input_format == "warc":
+            from dedup_spark.sources.warc import read_warc_pages
+
+            pages = read_warc_pages(spark, args.input)
+        elif args.input_format == "jsonl":
+            from dedup_spark.sources.jsonl import read_jsonl_pages
+
+            pages = read_jsonl_pages(spark, args.input)
+        else:
+            pages = (
+                spark.read.format("iceberg").load(args.input)
+                if "." in args.input and "/" not in args.input
+                else spark.read.parquet(args.input)
+            )
     if args.where:
         from dedup_spark.operators.scan import select_input
 

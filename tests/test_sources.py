@@ -117,3 +117,17 @@ def test_read_jsonl_pages_field_mapping(spark, tmp_path):
     assert got["u1"].lang == "en" and got["u1"].source == "cc-2024-10"
     assert got["u2"].text == "gamma delta" and got["u2"].source == "jsonl"
     assert got["u1"].warc_ts is not None and got["u2"].warc_ts is not None
+
+
+def test_cli_ingests_warc_input(spark, tmp_path, capsys):
+    """spark-submit entry accepts --input-format warc end to end."""
+    from jobs.dedup_job import main
+
+    (tmp_path / "seg0.warc").write_bytes(_sample_warc())
+    main(
+        ["--input", str(tmp_path / "seg0.warc"), "--input-format", "warc",
+         "--output", str(tmp_path / "out"), "--action", "summarize"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert "n_duplicate_docs" in out
