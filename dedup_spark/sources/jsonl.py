@@ -45,14 +45,24 @@ def read_jsonl_pages(
         return F.coalesce(*[F.col(f) for f in fields])
 
     ts = first_of(_TS_FIELDS)
+    # ANSI mode (repo default) makes to_timestamp THROW on unparseable input,
+    # which would crash the whole ingest on one odd row — contradicting the
+    # PERMISSIVE design. try_to_timestamp returns null instead, so the
+    # coalesce fallback chain is actually reachable: ISO (default parser),
+    # explicit ISO-with-offset, slash dates, and bare epoch seconds.
+    warc_ts = F.coalesce(
+        F.try_to_timestamp(ts),
+        F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+        F.try_to_timestamp(ts, F.lit("MM/dd/yyyy")),
+        F.when(
+            ts.rlike(r"^\d{9,12}$"), F.timestamp_seconds(ts.try_cast("long"))
+        ),
+    )
     return (
         raw.filter(F.col("_corrupt").isNull())
         .select(
             first_of(_URL_FIELDS).alias("url"),
-            F.coalesce(
-                F.to_timestamp(ts),
-                F.to_timestamp(ts, "yyyy-MM-dd'T'HH:mm:ssX"),
-            ).alias("warc_ts"),
+            warc_ts.alias("warc_ts"),
             F.lit(None).cast("binary").alias("html"),
             first_of(_TEXT_FIELDS).alias("text"),
             first_of(_LANG_FIELDS).alias("lang"),

@@ -10,11 +10,18 @@ file, which matches how Common Crawl is laid out (~1 GB .warc.gz segments,
 tens of thousands of files per crawl — natural task granularity for a
 1000-executor cluster, no shuffle at ingest).
 
-Scale note: `binaryFile` materializes a whole archive per task, so executor
-memory must cover one decompressed segment (Common Crawl segments are sized
-for exactly this). Only `response` records are emitted; `request`/`metadata`
-records and non-HTTP payloads are skipped, mirroring the reference's
-skip-empty/skip-irrelevant scan rules (S1).
+Scale note: `binaryFile` materializes one COMPRESSED archive per task;
+decompression is streamed record-at-a-time through `gzip.GzipFile` (never
+`gzip.decompress` of the whole archive — a ~1 GB Common Crawl segment
+inflates to ~4-5 GB, which at 32 concurrent tasks would blow executor heap),
+and the mapInPandas iterator emits bounded pandas batches
+(`_BATCH_ROWS`/`_BATCH_BYTES`) instead of one frame per archive, so peak
+per-task memory is ~compressed-segment + one batch. Only `response` records
+are emitted; `request`/`metadata` records and non-HTTP payloads are skipped,
+mirroring the reference's skip-empty/skip-irrelevant scan rules (S1).
+Parsing is pure-Python per record — at file-task granularity with zero
+shuffle that is the right Spark shape, but a production 100 TB ingest would
+swap this seam for fastwarc/resiliparse.
 
 Text extraction is a deterministic, tag-stripping heuristic (drop
 script/style blocks, strip tags, decode the common entities, collapse
@@ -59,29 +66,72 @@ def html_to_text(html: str) -> str:
     return _WS.sub(" ", s).strip()
 
 
-def _iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (headers, payload) per WARC record from one archive's bytes.
+def _open_stream(raw: bytes) -> io.BufferedIOBase:
+    """Archive bytes -> streaming binary reader (decompress incrementally).
 
-    Handles plain and gzip archives (including the member-per-record gzip
-    Common Crawl uses — stdlib gzip reads concatenated members natively).
+    `gzip.GzipFile` reads concatenated members natively (the member-per-record
+    gzip Common Crawl uses) and only keeps the inflate window in memory —
+    never the whole decompressed archive.
     """
     if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)
-    buf = io.BytesIO(raw)
+        return gzip.GzipFile(fileobj=io.BytesIO(raw))  # type: ignore[return-value]
+    return io.BytesIO(raw)
+
+
+def _iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (headers, payload) per WARC record, streaming from one archive.
+
+    A record with a missing/malformed Content-Length cannot be framed, so it
+    is dropped and the scanner RESYNCS: the next version line is only
+    accepted after a blank line (the WARC-required CRLFCRLF boundary), so a
+    payload body line that happens to start with 'WARC/' can't spawn phantom
+    records.
+    """
+    from collections import deque
+
+    buf = _open_stream(raw)
+    # lines consumed by a FAILED candidate parse are replayed through the
+    # scanner, so a malformed record never eats the next record's boundary
+    pending: deque[bytes] = deque()
+
+    def nextline() -> bytes:
+        return pending.popleft() if pending else buf.readline()
+
+    def readn(n: int) -> bytes:
+        chunks: list[bytes] = []
+        while n > 0 and pending:
+            c = pending.popleft()
+            if len(c) > n:
+                pending.appendleft(c[n:])
+                c = c[:n]
+            chunks.append(c)
+            n -= len(c)
+        if n > 0:
+            chunks.append(buf.read(n))
+        return b"".join(chunks)
+
+    resync = False
+    prev_blank = True
     while True:
-        # skip inter-record blank lines
-        line = buf.readline()
+        line = nextline()
         if not line:
             return
         if line.strip() == b"":
+            prev_blank = True
             continue
-        if not line.startswith(b"WARC/"):
+        if not line.startswith(b"WARC/") or (resync and not prev_blank):
             # tolerate garbage between records: scan to next version line
+            prev_blank = False
             continue
+        prev_blank = False
         headers: dict[str, str] = {}
+        consumed: list[bytes] = []
         while True:
-            h = buf.readline()
-            if not h or h.strip() == b"":
+            h = nextline()
+            if not h:
+                break
+            consumed.append(h)
+            if h.strip() == b"":
                 break
             if b":" in h:
                 k, v = h.split(b":", 1)
@@ -89,11 +139,16 @@ def _iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
                     v.decode("utf-8", "replace").strip()
                 )
         try:
-            length = int(headers.get("content-length", "0"))
-        except ValueError:
-            length = 0
-        payload = buf.read(length)
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            length = -1
+        if length < 0:
+            resync = True
+            pending.extendleft(reversed(consumed))
+            continue
+        payload = readn(length)
         yield headers, payload
+        resync = False
 
 
 def _http_body(payload: bytes) -> bytes | None:
@@ -107,9 +162,15 @@ def _http_body(payload: bytes) -> bytes | None:
     return payload[sep + 4 :]
 
 
-def parse_warc_bytes(raw: bytes, source: str) -> pd.DataFrame:
-    """One archive's bytes -> pages frame (pure function, unit-testable)."""
-    rows = []
+_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "source"]
+# Batch flush thresholds for the streaming emitter: either bound trips a
+# flush, so peak per-task memory is one compressed archive + one batch.
+_BATCH_ROWS = 1024
+_BATCH_BYTES = 32 * 1024 * 1024
+
+
+def iter_warc_pages(raw: bytes, source: str) -> Iterator[dict]:
+    """Stream page row-dicts from one archive's bytes (constant memory)."""
     for headers, payload in _iter_warc_records(raw):
         if headers.get("warc-type") != "response":
             continue
@@ -139,37 +200,52 @@ def parse_warc_bytes(raw: bytes, source: str) -> pd.DataFrame:
             import datetime as _dt
 
             ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": ts,
-                "html": body,
-                "text": text,
-                "lang": None,
-                "source": source,
-            }
-        )
-    return pd.DataFrame(
-        rows, columns=["url", "warc_ts", "html", "text", "lang", "source"]
-    )
+        yield {
+            "url": url,
+            "warc_ts": ts,
+            "html": body,
+            "text": text,
+            "lang": None,
+            "source": source,
+        }
 
 
-def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+def parse_warc_bytes(raw: bytes, source: str) -> pd.DataFrame:
+    """One archive's bytes -> pages frame (pure function, unit-testable)."""
+    return pd.DataFrame(list(iter_warc_pages(raw, source)), columns=_COLUMNS)
+
+
+def read_warc_pages(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = _BATCH_ROWS,
+    batch_bytes: int = _BATCH_BYTES,
+) -> DataFrame:
     """WARC archive files under `path` -> pages DataFrame (input_hint schema).
 
     `source` is the archive file name — the natural per-file partition unit
     for the checkpointed pipeline (one WARC segment == one resumable
-    partition).
+    partition). Pages are emitted as bounded pandas batches, never one frame
+    per archive.
     """
     import os
 
     files = spark.read.format("binaryFile").load(path)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        nbytes = 0
         for pdf in batches:
             for _, row in pdf.iterrows():
-                yield parse_warc_bytes(
+                for page in iter_warc_pages(
                     bytes(row["content"]), os.path.basename(row["path"])
-                )
+                ):
+                    rows.append(page)
+                    nbytes += len(page["html"]) + len(page["text"])
+                    if len(rows) >= batch_rows or nbytes >= batch_bytes:
+                        yield pd.DataFrame(rows, columns=_COLUMNS)
+                        rows, nbytes = [], 0
+        if rows:
+            yield pd.DataFrame(rows, columns=_COLUMNS)
 
     return files.select("path", "content").mapInPandas(parse, PAGES_SCHEMA)

@@ -99,6 +99,61 @@ def test_warc_feeds_dedup_end_to_end(spark, tmp_path, config):
     assert len({m.cluster_id for m in members}) == 1
 
 
+def test_warc_malformed_content_length_no_phantom_records():
+    """A record without a framable Content-Length is dropped, and its payload
+    lines starting with 'WARC/' must not spawn phantom records (resync
+    requires the CRLFCRLF boundary before the next version line)."""
+    body = b"HTTP/1.1 200 OK\r\n\r\nWARC/1.0 looks like a header\r\nmore"
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/\r\n"
+        b"Content-Length: garbage\r\n\r\n" + body + b"\r\n\r\n"
+    )
+    good = _warc_record(
+        "response", "https://good.example/", "2024-01-02T03:04:05Z",
+        "<html><body>fine</body></html>",
+    )
+    df = parse_warc_bytes(bad + good, "seg0")
+    assert list(df.url) == ["https://good.example/"]
+    # missing Content-Length entirely: same treatment
+    bad2 = bad.replace(b"Content-Length: garbage\r\n", b"")
+    df2 = parse_warc_bytes(bad2 + good, "seg0")
+    assert list(df2.url) == ["https://good.example/"]
+
+
+def test_warc_member_per_record_gzip_stream():
+    """Common Crawl gzips each record as its own member; the streaming reader
+    must handle concatenated members identically to one-shot compression."""
+    members = b"".join(
+        gzip.compress(rec)
+        for rec in (
+            _warc_record("response", "https://a.example/x",
+                         "2024-01-02T03:04:05Z", "<p>one</p>"),
+            _warc_record("response", "https://b.example/y",
+                         "2024-01-02T03:04:06Z", "<p>two</p>"),
+        )
+    )
+    df = parse_warc_bytes(members, "seg0")
+    assert list(df.url) == ["https://a.example/x", "https://b.example/y"]
+    assert list(df.text) == ["one", "two"]
+
+
+def test_read_warc_pages_bounded_batches(spark, tmp_path):
+    """The mapInPandas emitter flushes bounded batches, and the batched output
+    is identical to the pure whole-archive parse."""
+    raw = b"".join(
+        _warc_record("response", f"https://ex.example/{i}",
+                     "2024-01-02T03:04:05Z", f"<p>page {i} body</p>")
+        for i in range(10)
+    )
+    (tmp_path / "big.warc").write_bytes(raw)
+    pages = read_warc_pages(spark, str(tmp_path), batch_rows=3).collect()
+    expect = parse_warc_bytes(raw, "big.warc")
+    assert [r.url for r in pages] == list(expect.url)
+    assert [r.text for r in pages] == list(expect.text)
+
+
 def test_read_jsonl_pages_field_mapping(spark, tmp_path):
     from dedup_spark.sources.jsonl import read_jsonl_pages
 
@@ -117,6 +172,25 @@ def test_read_jsonl_pages_field_mapping(spark, tmp_path):
     assert got["u1"].lang == "en" and got["u1"].source == "cc-2024-10"
     assert got["u2"].text == "gamma delta" and got["u2"].source == "jsonl"
     assert got["u1"].warc_ts is not None and got["u2"].warc_ts is not None
+
+
+def test_read_jsonl_pages_tolerates_non_iso_timestamps(spark, tmp_path):
+    """ANSI mode must not crash the ingest on odd timestamp spellings:
+    slash dates and epoch seconds parse, garbage becomes null (row kept)."""
+    from dedup_spark.sources.jsonl import read_jsonl_pages
+
+    lines = [
+        {"url": "slash", "text": "a", "date": "03/04/2024"},
+        {"url": "epoch", "text": "b", "timestamp": "1709521567"},
+        {"url": "junk", "text": "c", "date": "next tuesday-ish"},
+    ]
+    p = tmp_path / "pages.jsonl"
+    p.write_text("\n".join(json.dumps(l) for l in lines))
+    got = {r.url: r for r in read_jsonl_pages(spark, str(p)).collect()}
+    assert set(got) == {"slash", "epoch", "junk"}
+    assert got["slash"].warc_ts.year == 2024 and got["slash"].warc_ts.month == 3
+    assert got["epoch"].warc_ts.year == 2024
+    assert got["junk"].warc_ts is None
 
 
 def test_cli_ingests_warc_input(spark, tmp_path, capsys):
