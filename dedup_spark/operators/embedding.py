@@ -129,13 +129,16 @@ def cosine_near_dup_pairs(
         "id", F.explode("band_keys").alias("band_key")
     )
     # spill the (id, band) rows once: the salted generator reads its input
-    # 3x (bucket counts + two semi-joins); without materialization each read
-    # re-runs the hyperplane-sketch UDF over every vector
+    # up to 4x (bucket counts + tier joins); without materialization each
+    # read re-runs the hyperplane-sketch UDF over every vector
     from dedup_spark.plans.pipeline import spill
 
     exploded = spill(exploded, config, "emb_bands")
     cand = salted_pairs_from_buckets(
-        exploded, channel="embedding", nsalt=config.bucket_salts
+        exploded,
+        channel="embedding",
+        nsalt=config.bucket_salts,
+        spill_dir=config.spill_dir,
     )
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))

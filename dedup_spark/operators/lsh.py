@@ -7,28 +7,22 @@ of n rows implies n(n-1)/2 pairs, and boilerplate pages create huge buckets.
 
 Skew strategy (explicit — Catalyst/AQE can split skewed *joins* but cannot fix
 within-group pair explosion). `salted_pairs_from_buckets`, the default scale
-path, is size-aware:
+path, counts bucket sizes first (one partial-aggregated shuffle; the count is
+map-side combinable so hot keys cannot straggle a reducer), then routes
+buckets by size:
 
-  - bucket sizes are counted first (one partial-aggregated shuffle; the count
-    is map-side combinable so hot keys cannot straggle a reducer);
-  - buckets with n <= pair_cap_all — the overwhelming majority — generate ALL
-    pairs from a sorted collect_list (bounded: <= cap members per task,
-    <= cap*(cap-1)/2 pairs per bucket). No salting, so co-bucketed docs are
-    NEVER separated by their salt: enumeration below the cap is exhaustive.
-  - mid buckets (pair_cap_all < n <= pair_cap_cross) are STILL exhaustive,
-    via triangulated block all-pairs: each member gets salt s in [0, nsalt)
-    and is replicated to the nsalt task keys {(min(s,t), max(s,t))}; task
-    (i, i) emits all pairs inside salt group i, task (i, j), i < j emits the
-    full cross product group_i x group_j. Every pair of the bucket is emitted
-    exactly once, no task ever holds more than ~2n/nsalt members, and no
-    pair is mediated by a hub — this closes the cross-salt recall hole where
-    two true near-dups in different salt groups were connected only through
-    hub docs that had to survive downstream Hamming/Jaccard verification.
-  - ultra-hot buckets (n > pair_cap_cross) switch to the salted two-level
-    star: per-salt sub-buckets emit all pairs if small else a star around
-    their min-id hub, and the <= nsalt per-bucket hubs are then fully paired
-    (second, tiny shuffle). The transitive closure equals the unsalted
-    bucket's, which is what connected components needs.
+  - buckets with n <= pair_cap_cross — the overwhelming majority — are
+    exhaustive: one sorted collect_list per bucket (<= 1024 ids, 8 KB) and
+    ALL pairs generated inline (<= ~524k pairs from one bounded task).
+    Enumeration below the cap is exhaustive with NO hub mediation and no
+    salting, so no cross-salt recall hole: two true near-dups never depend
+    on a third doc surviving downstream Hamming/Jaccard verification.
+  - ultra-hot buckets (n > pair_cap_cross) get the salted two-level star:
+    per-salt sub-buckets emit all pairs if small else a star around their
+    min-id hub, and the <= nsalt per-bucket hubs are then fully paired
+    (second, tiny shuffle). No task ever holds more than ~bucket/nsalt
+    members. The transitive closure equals the unsalted bucket's, which is
+    what connected components needs.
 
   RECALL TRADEOFF inside ultra-hot buckets (explicit, not silent): star/hub
   edges still have to pass downstream verification (Jaccard), so two true
@@ -47,10 +41,13 @@ from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
 
-PAIR_CAP_ALL = 64  # all-pairs only below this bucket size: <= 2016 pairs/bucket
-# exhaustive (triangulated) enumeration up to this bucket size: <= ~524k
-# pairs/bucket, spread over nsalt*(nsalt+1)/2 bounded tasks; beyond it the
-# salted star caps quadratic blowup for degenerate boilerplate clusters.
+# inside ultra-hot buckets, per-salt sub-buckets emit all pairs below this
+# size and a min-id star above it (<= 2016 pairs/sub-bucket either way);
+# also the cap for the unsalted pairs_from_buckets fast path.
+PAIR_CAP_ALL = 64
+# exhaustive enumeration up to this bucket size: <= ~524k pairs/bucket from
+# one bounded task; beyond it the salted two-level star caps quadratic
+# blowup for degenerate boilerplate clusters.
 PAIR_CAP_CROSS = 1024
 
 # Bucket key is the single long `band_key`. Every producer mixes the band /
@@ -125,57 +122,47 @@ def pairs_from_buckets(
     return pairs.distinct().withColumn("channel", F.lit(channel))
 
 
-def _cross_pairs(a, b) -> F.Column:
-    """Full cross product of two disjoint member arrays, id-ordered."""
-    return F.flatten(
-        F.transform(
-            a,
-            lambda x: F.transform(
-                b,
-                lambda y: F.struct(
-                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
-                ),
-            ),
-        )
-    )
-
-
 def salted_pairs_from_buckets(
     exploded: DataFrame,
     channel: str,
     nsalt: int,
     pair_cap_all: int = PAIR_CAP_ALL,
     pair_cap_cross: int = PAIR_CAP_CROSS,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """Size-aware skew-proof pair generation (see module docstring).
 
     Exhaustive (identical to the unsalted all-pairs enumeration) for every
-    bucket with <= pair_cap_cross members — single-task collect_list below
-    pair_cap_all, triangulated cross-salt blocks between the caps — and a
-    salted two-level star only for ultra-hot buckets, whose transitive
-    closure equals the unsalted bucket's.
+    bucket with <= pair_cap_cross members — one bounded collect_list task per
+    bucket — and a salted two-level star only for ultra-hot buckets, whose
+    transitive closure equals the unsalted bucket's.
 
-    NOTE: reads `exploded` 4x (counts + three semi-joins); spill() any
-    UDF-computed input first or the UDF re-runs per read.
+    NOTE: reads `exploded` up to 4x (counts + the exhaustive-tier semi-join +
+    two hot-tier consumers); spill() any UDF-computed input first or the UDF
+    re-runs per read. A fully single-pass shape (one salted aggregate,
+    spilled, re-read per tier) was built and A-B-A-measured 11% SLOWER e2e at
+    600k/local[8]: collect_list partials over the ~95%-singleton bucket
+    population plus the materialization cost more than the pruned re-reads.
+    ``spill_dir`` is accepted for call-site symmetry and future use.
     """
     if pair_cap_cross < pair_cap_all:
         pair_cap_cross = pair_cap_all
     counts = exploded.groupBy(*_KEYS).agg(F.count(F.lit(1)).alias("_n"))
-    hot_keys = counts.filter(F.col("_n") > F.lit(pair_cap_cross)).select(*_KEYS)
     members = F.col("members")
     n = F.size(members)
 
-    # small buckets: exhaustive, no salt. The semi-join keeps only buckets
-    # with 2..cap members BEFORE the heavy collect_list shuffle — on web
-    # corpora the vast majority of band buckets are singletons (no pair
-    # possible), so this shrinks the expensive aggregation ~10x; the eligible
-    # key list is pair-density-sized and AQE broadcasts it (measured: the
-    # join runs as BroadcastHashJoin at runtime), leaving one heavy shuffle
-    # over only pair-capable rows.
+    # small + mid buckets (2..pair_cap_cross): exhaustive all-pairs. The
+    # semi-join keeps only pair-capable buckets BEFORE the heavy collect_list
+    # shuffle — on web corpora the vast majority of band buckets are
+    # singletons (no pair possible), so this shrinks the expensive
+    # aggregation ~10x; the eligible key list is pair-density-sized and AQE
+    # broadcasts it (measured: BroadcastHashJoin at runtime). A bucket at the
+    # cap collects <=1024 ids (8 KB) and emits <=~524k pairs from one bounded
+    # task.
     eligible = counts.filter(
-        (F.col("_n") >= 2) & (F.col("_n") <= F.lit(pair_cap_all))
+        (F.col("_n") >= 2) & (F.col("_n") <= F.lit(pair_cap_cross))
     ).select(*_KEYS)
-    small = (
+    smallmid = (
         exploded.join(eligible, _KEYS, "left_semi")
         .groupBy(*_KEYS)
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
@@ -184,62 +171,15 @@ def salted_pairs_from_buckets(
         .select("p.id_a", "p.id_b")
     )
 
-    # mid buckets: exhaustive triangulated block all-pairs. Each member is
-    # replicated to nsalt (t1, t2) task keys; a task holds at most two salt
-    # groups (~2n/nsalt members) and emits either in-group all-pairs
-    # (t1 == t2) or the full cross product (t1 < t2), so every bucket pair is
-    # produced exactly once with NO hub mediation and no unbounded task.
-    mid_keys = counts.filter(
-        (F.col("_n") > F.lit(pair_cap_all)) & (F.col("_n") <= F.lit(pair_cap_cross))
-    ).select(*_KEYS)
-    salt = F.pmod(F.xxhash64("id"), F.lit(nsalt)).cast("int")
-    mid = (
-        exploded.join(mid_keys, _KEYS, "left_semi")
-        .withColumn("salt", salt)
-        .select(
-            *_KEYS,
-            "salt",
-            "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(nsalt - 1)),
-                    lambda t: F.struct(
-                        F.least(F.col("salt"), t).alias("t1"),
-                        F.greatest(F.col("salt"), t).alias("t2"),
-                    ),
-                )
-            ).alias("tk"),
-        )
-        .select(*_KEYS, F.col("tk.t1").alias("t1"), F.col("tk.t2").alias("t2"),
-                "salt", "id")
-        .groupBy(*_KEYS, "t1", "t2")
-        .agg(F.sort_array(F.collect_list(F.struct("salt", "id"))).alias("mem"))
+    # ultra-hot buckets: per-salt sub-buckets, every task bounded by
+    # ~bucket/nsalt; sub-lists are used as-is (never re-assembled per key)
+    hot_keys = counts.filter(F.col("_n") > F.lit(pair_cap_cross)).select(*_KEYS)
+    sub = (
+        exploded.join(hot_keys, _KEYS, "left_semi")
+        .withColumn("salt", F.pmod(F.xxhash64("id"), F.lit(nsalt)))
+        .groupBy(*_KEYS, "salt")
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
     )
-    grp_a = F.transform(
-        F.filter("mem", lambda m: m.salt == F.col("t1")), lambda m: m.id
-    )
-    grp_b = F.transform(
-        F.filter("mem", lambda m: m.salt == F.col("t2")), lambda m: m.id
-    )
-    mid_pairs = (
-        mid.select(
-            F.explode(
-                F.when(F.col("t1") == F.col("t2"), _all_pairs(grp_a)).otherwise(
-                    _cross_pairs(grp_a, grp_b)
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-    )
-
-    # ultra-hot buckets: per-salt sub-buckets, every task bounded by ~bucket/nsalt
-    hot = exploded.join(hot_keys, _KEYS, "left_semi").withColumn(
-        "salt", F.pmod(F.xxhash64("id"), F.lit(nsalt))
-    )
-    sub = hot.groupBy(*_KEYS, "salt").agg(
-        F.sort_array(F.collect_list("id")).alias("members")
-    )
-    sub = sub.withColumn("hub", F.element_at(members, 1))
     level1 = (
         sub.filter(n >= 2)
         .select(
@@ -253,7 +193,7 @@ def salted_pairs_from_buckets(
     )
     # level 2: connect sub-buckets — all pairs among the <= nsalt hubs
     hubs = sub.groupBy(*_KEYS).agg(
-        F.sort_array(F.collect_set("hub")).alias("members")
+        F.sort_array(F.collect_set(F.element_at(members, 1))).alias("members")
     )
     level2 = (
         hubs.filter(n >= 2)
@@ -261,8 +201,7 @@ def salted_pairs_from_buckets(
         .select("p.id_a", "p.id_b")
     )
     return (
-        small.unionByName(mid_pairs)
-        .unionByName(level1)
+        smallmid.unionByName(level1)
         .unionByName(level2)
         .distinct()
         .withColumn("channel", F.lit(channel))
@@ -278,7 +217,10 @@ def lsh_candidate_pairs(
     """Distinct candidate pairs from MinHash band-bucket co-membership
     (size-aware salted generation — the scale path)."""
     return salted_pairs_from_buckets(
-        explode_bands(with_bands, id_col), channel, nsalt=config.bucket_salts
+        explode_bands(with_bands, id_col),
+        channel,
+        nsalt=config.bucket_salts,
+        spill_dir=config.spill_dir,
     )
 
 

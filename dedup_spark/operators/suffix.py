@@ -145,7 +145,8 @@ def suffix_repeat_pairs(
         "id", F.col("fp").alias("band_key")
     )
     hot_cand = salted_pairs_from_buckets(
-        hot, channel="suffix", nsalt=config.bucket_salts, pair_cap_all=cap
+        hot, channel="suffix", nsalt=config.bucket_salts, pair_cap_all=cap,
+        spill_dir=config.spill_dir,
     ).select("id_a", "id_b")
     a = toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a"))
     b = toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b"))

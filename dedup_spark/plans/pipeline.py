@@ -80,10 +80,15 @@ def spill(df: DataFrame, config: DedupConfig, name: str) -> DataFrame:
     outlive the run: returned DataFrames lazily re-read them), so repeated
     runs in one process no longer accumulate dead parquet on disk forever.
     """
+    return spill_path(df, name, config.spill_dir)
+
+
+def spill_path(df: DataFrame, name: str, base_dir: str | None = None) -> DataFrame:
+    """`spill` for callers without a DedupConfig (see its docstring)."""
     import tempfile
     import uuid
 
-    base = config.spill_dir or tempfile.gettempdir()
+    base = base_dir or tempfile.gettempdir()
     path = f"{base}/dedup_spill_{name}_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(path)
     register_temp_dir(path)
@@ -126,7 +131,10 @@ def simhash_candidate_pairs(
         F.xxhash64("band_idx", "band_key").alias("band_key"),
     )
     cand = salted_pairs_from_buckets(
-        exploded, channel="simhash", nsalt=config.bucket_salts
+        exploded,
+        channel="simhash",
+        nsalt=config.bucket_salts,
+        spill_dir=config.spill_dir,
     )
     a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("_sh_a"))
     b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("_sh_b"))

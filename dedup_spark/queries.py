@@ -181,8 +181,8 @@ def n7_jaccard_pairs(spark, sf_dir, threshold: float = 0.2):
     from dedup_spark.operators.lsh import salted_pairs_from_buckets
     from dedup_spark.plans.pipeline import spill
 
-    # spill once: the salted generator reads its input 3x (counts + two
-    # semi-joins) and the verify joins read it twice more — without the
+    # spill once: the salted generator reads its input up to 4x and the
+    # verify joins read the shingle table twice more — without the
     # materialization each consumer re-runs the Arrow signature UDF
     sh = spill(
         _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes"),
@@ -194,7 +194,7 @@ def n7_jaccard_pairs(spark, sf_dir, threshold: float = 0.2):
         F.explode("shingle_hashes").alias("band_key"),
     )
     cand = salted_pairs_from_buckets(
-        ex, channel="jaccard", nsalt=CFG.bucket_salts
+        ex, channel="jaccard", nsalt=CFG.bucket_salts, spill_dir=CFG.spill_dir
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
@@ -324,8 +324,14 @@ def n4_recall_vs_oracle(spark, sf_dir, threshold: float = 0.7):
         F.col("doc_id").alias("id"),
         F.explode("shingle_hashes").alias("band_key"),
     )
+    # TRUTH channel must never undercount: disable the ultra-hot star tier
+    # (pair_cap_cross unbounded -> every bucket enumerated exhaustively), so
+    # at corpora where a shingle bucket exceeds 1024 docs the Spark-side
+    # n_true_pairs still matches the DuckDB exact-join oracle instead of
+    # silently star-capping truth.
     cand = salted_pairs_from_buckets(
-        ex, channel="truth", nsalt=CFG.bucket_salts
+        ex, channel="truth", nsalt=CFG.bucket_salts,
+        pair_cap_cross=2**31 - 1, spill_dir=CFG.spill_dir,
     ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))

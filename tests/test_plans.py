@@ -156,3 +156,57 @@ def test_chunk_documents_no_shuffle(spark):
     plan = plan_of(QUERIES["c6_chunk_documents"](spark, SF_DIR))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 0, plan
     assert "Generate" in plan, plan
+
+
+def test_salted_pair_generator_bounded_input_reads(spark, tmp_path):
+    """The pair generator reads its (often UDF-computed, caller-spilled)
+    input at most 4x (counts + exhaustive-tier semi-join + two hot-tier
+    consumers), and mid-size buckets are enumerated in one bounded task —
+    no nsalt-fold row replication (the old triangulated tier's `sequence`
+    fan-out must not reappear)."""
+    from dedup_spark.operators.lsh import salted_pairs_from_buckets
+
+    src = str(tmp_path / "exploded_input")
+    spark.range(0, 5000).select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(700)).alias("band_key")
+    ).write.parquet(src)
+    exploded = spark.read.parquet(src)
+    pairs = salted_pairs_from_buckets(
+        exploded, "x", nsalt=4, spill_dir=str(tmp_path)
+    )
+    plan = plan_of(pairs)
+    # 6 static scans = 3 tier branches x (input + its counts semi-join build
+    # side); the counts exchange is identical across branches and reused at
+    # runtime. The old triangulated shape statically scanned it 8x.
+    assert plan.count("exploded_input") <= 6, plan
+    assert "sequence(" not in plan, plan
+
+
+def test_jsonl_ingest_stays_jvm_side(spark, tmp_path):
+    """JSONL ingest is a declarative scan: no Python evaluation node may
+    appear in the plan (BatchEvalPython/ArrowEvalPython = a row-at-a-time
+    slow path snuck in)."""
+    import json
+
+    from dedup_spark.sources.jsonl import read_jsonl_pages
+
+    p = tmp_path / "pages.jsonl"
+    p.write_text(json.dumps({"url": "u1", "text": "alpha"}) + "\n")
+    plan = plan_of(read_jsonl_pages(spark, str(p)))
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_warc_ingest_one_task_per_archive_no_shuffle(spark, tmp_path):
+    """WARC ingest is file-task granular: binaryFile scan straight into
+    MapInPandas with no exchange before pages exist."""
+    from dedup_spark.sources.warc import read_warc_pages
+
+    (tmp_path / "seg0.warc").write_bytes(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.example/\r\nContent-Length: 2\r\n\r\n"
+        b"xx\r\n\r\n"
+    )
+    plan = plan_of(read_warc_pages(spark, str(tmp_path)))
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
