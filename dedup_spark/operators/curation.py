@@ -239,20 +239,27 @@ def stratified_sample(
     engine, and partitioning. Over-budget shards are downsampled; under-
     budget shards pass through whole (rate 1).
 
-    Plan: one map-side-combining agg for shard token totals, broadcast back
-    (shard cardinality is small), then a stateless filter — the 100 TB side
-    is scanned once and never shuffled.
+    Plan: one map-side-combining agg for shard token totals (shard count
+    derived in the same plan via an unpartitioned window over the tiny totals
+    table — no driver-side count() job), broadcast back (shard cardinality is
+    small), then a stateless filter — the 100 TB side is scanned once and
+    never shuffled.
     """
     n_tok = F.size(tokens(text_col)).cast("long")
     sized = docs.select(F.col(id_col), F.col(shard_col), n_tok.alias("n_tokens"))
-    totals = sized.groupBy(shard_col).agg(F.sum("n_tokens").alias("_shard_tokens"))
-    n_shards = totals.count()  # shard cardinality: tiny, known at plan time
-    per_shard_budget = token_budget // max(n_shards, 1)
+    totals = sized.groupBy(shard_col).agg(
+        F.sum("n_tokens").alias("_shard_tokens")
+    ).withColumn(
+        # single-partition window is fine: totals is post-agg shard
+        # cardinality, a handful of rows
+        "_n_shards", F.count(F.lit(1)).over(Window.partitionBy())
+    )
     # integer `div`, not float division: rates must be bit-exact across
     # engines and partition counts even when budget*65536 exceeds 2^53
     rate64k = F.expr(
         f"least(cast(65536 as bigint), "
-        f"cast({per_shard_budget * 65536} as bigint) div _shard_tokens)"
+        f"((cast({token_budget} as bigint) div _n_shards) * 65536)"
+        f" div _shard_tokens)"
     )
     keyed = sized.join(
         F.broadcast(totals.select(shard_col, rate64k.alias("_rate64k"))), shard_col

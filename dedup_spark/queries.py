@@ -40,6 +40,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# Driver testdata embedding dimensionality (all SFs ship 64-float vectors;
+# pinned by tests/test_entry.py). A constant, not a driver-side first()
+# sniff: the contract layer must not run a job to plan a job. The engine
+# API (operators/embedding.py) always takes `dim` explicitly.
+_EMB_DIM = 64
+
+
 # --------------------------------------------------------------------------
 # S1: scan / ingest (empty filter + identity dedup)
 def s1_scan_ingest(spark, sf_dir):
@@ -246,6 +253,37 @@ def f_fingerprint(spark, sf_dir):
 
     return _docs(spark, sf_dir).select(
         "doc_id", fingerprint("text", k=8).alias("fingerprint")
+    )
+
+
+# Companion oracle for the fingerprint digest channel (digest VALUES are
+# xxhash64-derived and not DuckDB-computable, so f_fingerprint itself stays
+# rows-only — this row grades the machinery behind it): null-structure
+# parity (a doc has a fingerprint iff it has >= 1 k=8 shingle, which DuckDB
+# computes from string shingles) and the determinism invariant that
+# identical normalized texts always get identical fingerprints (violations
+# provably 0 for any deterministic digest — a red row means the digest
+# stopped being a pure function of the text).
+def f_fingerprint_stats(spark, sf_dir):
+    from dedup_spark.functions.text import fingerprint
+
+    d = _docs(spark, sf_dir).select(
+        F.trim(
+            F.regexp_replace(F.lower("text"), r"\s+", " ")
+        ).alias("_norm"),
+        fingerprint("text", k=8).alias("_fp"),
+    )
+    per_text = d.groupBy("_norm").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count("_fp").alias("_n_fp"),
+        F.countDistinct("_fp").alias("_cd"),
+    )
+    return per_text.agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum("_n_fp").cast("long").alias("n_fingerprinted"),
+        F.sum(F.greatest(F.col("_cd") - 1, F.lit(0)))
+        .cast("long")
+        .alias("n_text_dup_fp_violations"),
     )
 
 
@@ -719,7 +757,7 @@ def emb_near_dup_lsh(spark, sf_dir, threshold: float = 0.45):
     from dedup_spark.operators.embedding import cosine_near_dup_pairs
 
     emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()[0])
+    dim = _EMB_DIM
     # generate at a hair below the threshold, then re-filter on the ROUNDED
     # cosine: the oracle compares round(cosine, 4) >= threshold, so boundary
     # pairs (e.g. 0.44997) must be decided on the rounded value on both sides
@@ -774,7 +812,7 @@ def emb_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim = len(emb.select("v").first()[0])
+    dim = _EMB_DIM
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -936,6 +974,7 @@ QUERIES = {
     "n2_shingle_stats": n2_shingle_stats,
     "n6_suffix_pairs": n6_suffix_pairs,
     "f_fingerprint": f_fingerprint,
+    "f_fingerprint_stats": f_fingerprint_stats,
     "n7_jaccard_pairs": n7_jaccard_pairs,
     "n8_connected_components": n8_connected_components,
     "n3_minhash_signatures": n3_minhash_signatures,
@@ -1178,6 +1217,36 @@ ORACLE = {
     """,
     "n2_shingle_stats": f"""
         SELECT doc_id, len({_shingle_sql(5)}) AS n_shingles FROM documents
+    """,
+    # Upper-bound oracle: equal MinHash bands imply a shared argmin shingle,
+    # so every band bucket is a subset of some single-shingle bucket — no
+    # shingle shared by > 64 docs implies zero hot band buckets (the driver
+    # corpora top out at 4 docs/shingle, so both sides are empty). If a
+    # shingle bucket ever exceeds the cap this row turns red LOUDLY (the
+    # bound fires even when no band bucket is actually hot) instead of a
+    # hot bucket passing unaudited.
+    "n10_hot_buckets": f"""
+        WITH ex AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({_shingle_sql(5)}) AS tok FROM documents
+          )
+        ), hot AS (
+          SELECT tok, count(*) AS c FROM ex GROUP BY tok HAVING count(*) > 64
+        )
+        SELECT CAST(NULL AS INTEGER) AS band_idx,
+               CAST(NULL AS BIGINT) AS band_key,
+               c::BIGINT AS n_members
+        FROM hot
+    """,
+    # n_text_dup_fp_violations is provably 0 for any digest that is a pure
+    # function of the normalized text — the oracle encodes the invariant's
+    # expected value, the Spark side actually measures it.
+    "f_fingerprint_stats": f"""
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(case when len({_shingle_sql(8)}) > 0 then 1 else 0 end
+                  )::BIGINT AS n_fingerprinted,
+               0::BIGINT AS n_text_dup_fp_violations
+        FROM documents
     """,
     "n6_suffix_pairs": f"""
         WITH win AS (

@@ -138,13 +138,15 @@ def test_pack_tokens_two_phase_prefix_sum_no_shard_funnel(spark):
 
 
 def test_stratified_sample_one_agg_plus_broadcast(spark):
-    """Corpus mixing scans the 100 TB side once: one exchange (the shard
-    token totals) and a broadcast of the tiny rate table back — the data
-    itself never shuffles."""
+    """Corpus mixing scans the 100 TB side once: one exchange for the shard
+    token totals, one SinglePartition exchange over the tiny post-agg totals
+    (the in-plan shard count that replaced a driver-side count() job), and a
+    broadcast of the rate table back — the data itself never shuffles."""
     from dedup_spark.queries import QUERIES
 
     plan = plan_of(QUERIES["c5_stratified_sample"](spark, SF_DIR))
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert plan.count("Arguments: SinglePartition") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
 
 
