@@ -205,3 +205,45 @@ def test_cli_ingests_warc_input(spark, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "n_duplicate_docs" in out
+
+
+def test_cli_warc_to_canonicalize_round_trip(spark, tmp_path):
+    """Full CLI composition in one invocation: raw gzip WARC archives ->
+    ingest -> dedup pipeline -> canonicalize sinks (kept + redirects).
+    Two archives plant a cross-archive exact dup and a unique page; the
+    duplicate must collapse to one kept url with a redirect row."""
+    from jobs.dedup_job import main
+
+    dup_html = "<html><body>identical page body for the cli</body></html>"
+    (tmp_path / "a.warc.gz").write_bytes(gzip.compress(
+        _warc_record("response", "https://x.example/1",
+                     "2024-01-02T03:04:05Z", dup_html)
+        + _warc_record("response", "https://x.example/only",
+                       "2024-01-02T03:04:06Z",
+                       "<html><body>page that is entirely unique prose"
+                       "</body></html>")
+    ))
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(
+        _warc_record("response", "https://x.example/2",
+                     "2024-01-02T03:04:07Z", dup_html)
+    ))
+    out = tmp_path / "out"
+    main(
+        ["--input", str(tmp_path), "--input-format", "warc",
+         "--output", str(out), "--action", "canonicalize"],
+        spark=spark,
+    )
+    kept = {r.url for r in spark.read.parquet(str(out / "kept")).collect()}
+    redirects = {
+        (r.url, r.canonical_url)
+        for r in spark.read.parquet(str(out / "redirects")).collect()
+    }
+    # the unique page never enters a duplicate cluster: untouched by sinks
+    assert "https://x.example/only" not in kept
+    assert all(u != "https://x.example/only" for u, _ in redirects)
+    # exactly one of the dup pair is kept, the other redirects to it
+    dup = {"https://x.example/1", "https://x.example/2"}
+    assert kept & dup == kept and len(kept) == 1
+    (winner,) = kept
+    (loser,) = dup - kept
+    assert redirects == {(loser, winner)}
