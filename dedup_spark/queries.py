@@ -287,6 +287,43 @@ def f_fingerprint_stats(spark, sf_dir):
     )
 
 
+# URL canonicalization (crawl-side identity dedup, functions/urls.py). The
+# driver documents table ships no url column, so both sides derive the SAME
+# deterministic url per doc in-plan (5 spelling variants by doc_id % 5 that
+# exercise every rule: case-variant host/scheme, default ports, tracking
+# params leading/trailing, fragments, trailing slash) and the canonical form
+# is hash-checked value-exact against the DuckDB mirror of the spec.
+def f_url_canonical(spark, sf_dir):
+    from dedup_spark.functions.urls import canonical_url
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    i = F.col("doc_id").cast("string")
+    variants = (
+        F.when(F.pmod("doc_id", F.lit(5)) == 0,
+               F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".Example.COM/path/"), i, F.lit("/")))
+        .when(F.pmod("doc_id", F.lit(5)) == 1,
+              F.concat(F.lit("https://"), F.col("source"),
+                       F.lit(".example.com:443/p/"), i,
+                       F.lit("?utm_source=feed&ref="), i))
+        .when(F.pmod("doc_id", F.lit(5)) == 2,
+              F.concat(F.lit("http://"), F.col("source"),
+                       F.lit(".example.com:80/p?a="), i,
+                       F.lit("&utm_campaign=x&utm_medium=y")))
+        .when(F.pmod("doc_id", F.lit(5)) == 3,
+              F.concat(F.lit("HTTPS://"), F.col("source"),
+                       F.lit(".example.com/p/"), i, F.lit("#frag-"), i))
+        .otherwise(
+            F.concat(F.lit("https://"), F.col("source"),
+                     F.lit(".example.com/p/"), i, F.lit("?fbclid=c"), i))
+    )
+    return d.select(
+        "doc_id",
+        variants.alias("url"),
+        canonical_url(variants).alias("canonical_url"),
+    )
+
+
 # N2/N3/N5 fused features: the engine's hot path (one Arrow round trip).
 # include_signature=False keeps the 128-long raw signature out of the Arrow
 # transfer — only n3 (which exposes signatures) needs it.
@@ -975,6 +1012,7 @@ QUERIES = {
     "n6_suffix_pairs": n6_suffix_pairs,
     "f_fingerprint": f_fingerprint,
     "f_fingerprint_stats": f_fingerprint_stats,
+    "f_url_canonical": f_url_canonical,
     "n7_jaccard_pairs": n7_jaccard_pairs,
     "n8_connected_components": n8_connected_components,
     "n3_minhash_signatures": n3_minhash_signatures,
@@ -1247,6 +1285,56 @@ ORACLE = {
                   )::BIGINT AS n_fingerprinted,
                0::BIGINT AS n_text_dup_fp_violations
         FROM documents
+    """,
+    # mirror of functions/urls.canonical_url — same regexes (Java/RE2 common
+    # subset), same step order; only the backreference spelling differs
+    # ($1 vs \\1) and DuckDB needs explicit 'g' (Spark is always global)
+    "f_url_canonical": r"""
+        WITH u0 AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'https://' || source || '.Example.COM/path/'
+                               || doc_id || '/'
+                   WHEN 1 THEN 'https://' || source || '.example.com:443/p/'
+                               || doc_id || '?utm_source=feed&ref=' || doc_id
+                   WHEN 2 THEN 'http://' || source || '.example.com:80/p?a='
+                               || doc_id || '&utm_campaign=x&utm_medium=y'
+                   WHEN 3 THEN 'HTTPS://' || source || '.example.com/p/'
+                               || doc_id || '#frag-' || doc_id
+                   ELSE 'https://' || source || '.example.com/p/'
+                               || doc_id || '?fbclid=c' || doc_id
+                 END AS url
+          FROM documents
+        ), u1 AS (
+          SELECT doc_id, url,
+                 regexp_replace(trim(url), '#.*', '', 'g') AS c FROM u0
+        ), u2 AS (
+          SELECT doc_id, url, c,
+                 regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*') AS pre
+          FROM u1
+        ), u3 AS (
+          SELECT doc_id, url,
+                 regexp_replace(
+                   regexp_replace(lower(pre), '^(http://[^/:?]*):80$', '\1', 'g'),
+                   '^(https://[^/:?]*):443$', '\1', 'g')
+                 || substr(c, length(pre) + 1) AS c
+          FROM u2
+        ), u4 AS (
+          SELECT doc_id, url,
+                 regexp_replace(c,
+                   '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&', '', 'g') AS c
+          FROM u3
+        ), u5 AS (
+          SELECT doc_id, url,
+                 regexp_replace(c,
+                   '[?&](utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g') AS c
+          FROM u4
+        ), u6 AS (
+          SELECT doc_id, url, regexp_replace(c, '[?&]$', '', 'g') AS c FROM u5
+        )
+        SELECT doc_id, url,
+               regexp_replace(c, '([^/])/$', '\1', 'g') AS canonical_url
+        FROM u6
     """,
     "n6_suffix_pairs": f"""
         WITH win AS (

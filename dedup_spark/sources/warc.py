@@ -169,9 +169,27 @@ _BATCH_ROWS = 1024
 _BATCH_BYTES = 32 * 1024 * 1024
 
 
+def _safe_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Record iterator tolerant of corrupt archives: a truncated or
+    bit-rotted gzip tail (real Common Crawl segments do break) ends THIS
+    archive's stream after the records already parsed instead of failing the
+    task — and with it, after retries, the whole 100 TB job."""
+    import zlib
+
+    it = _iter_warc_records(raw)
+    while True:
+        try:
+            rec = next(it)
+        except StopIteration:
+            return
+        except (EOFError, OSError, zlib.error):
+            return
+        yield rec
+
+
 def iter_warc_pages(raw: bytes, source: str) -> Iterator[dict]:
     """Stream page row-dicts from one archive's bytes (constant memory)."""
-    for headers, payload in _iter_warc_records(raw):
+    for headers, payload in _safe_records(raw):
         if headers.get("warc-type") != "response":
             continue
         url = headers.get("warc-target-uri")

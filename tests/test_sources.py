@@ -139,6 +139,24 @@ def test_warc_member_per_record_gzip_stream():
     assert list(df.text) == ["one", "two"]
 
 
+def test_warc_truncated_gzip_keeps_parsed_records():
+    """A truncated compressed tail (broken segment) yields the records that
+    decompressed cleanly instead of raising — one bad archive must not fail
+    a whole ingest job."""
+    good = gzip.compress(
+        _warc_record("response", "https://a.example/x",
+                     "2024-01-02T03:04:05Z", "<p>one</p>")
+    )
+    broken = gzip.compress(
+        _warc_record("response", "https://b.example/y",
+                     "2024-01-02T03:04:06Z", "<p>two</p>")
+    )[:-20]  # chop the trailing bytes: CRC/size footer gone mid-member
+    df = parse_warc_bytes(good + broken, "seg0")
+    assert list(df.url) == ["https://a.example/x"]
+    # fully garbage input: no rows, no raise
+    assert len(parse_warc_bytes(b"\x1f\x8b" + b"\x00" * 64, "seg0")) == 0
+
+
 def test_read_warc_pages_bounded_batches(spark, tmp_path):
     """The mapInPandas emitter flushes bounded batches, and the batched output
     is identical to the pure whole-archive parse."""
