@@ -59,6 +59,18 @@ FEATURES_SCHEMA = StructType(
     ]
 )
 
+# channel variant: pair GENERATION consumes only (simhash, bands) — the
+# shingle arrays (~130 longs/doc, the bulk of the Arrow transfer and of the
+# feats spill) are only needed for Jaccard verification, which touches the
+# small candidate-involved subset of docs (measured 8% at 600k), so the
+# engine computes them lazily for that subset via shingle_hashes_udf.
+CHANNEL_SCHEMA = StructType(
+    [
+        StructField("simhash", LongType()),
+        StructField("bands", ArrayType(LongType())),
+    ]
+)
+
 # odd multiplier for the band-key polynomial mix (splitmix64 constant)
 _BAND_MIX = np.uint64(0xBF58476D1CE4E5B9)
 
@@ -145,6 +157,7 @@ def signature_batch(
     bands: int,
     rows_per_band: int,
     include_signature: bool = True,
+    include_shingles: bool = True,
 ) -> pd.DataFrame:
     """Pure-function batch used by the UDF (unit-testable without Spark).
 
@@ -154,7 +167,9 @@ def signature_batch(
 
     ``include_signature=False`` computes the MinHash signatures (bands need
     them) but leaves them out of the returned frame — the engine-facing
-    shape (see FEATURES_SCHEMA).
+    shape (see FEATURES_SCHEMA). ``include_shingles=False`` additionally
+    drops the shingle arrays (CHANNEL_SCHEMA): they are still computed
+    (MinHash needs them) but never serialized back.
     """
     from dedup_spark.functions.minhash import minhash_from_flat
     from dedup_spark.functions.simhash import simhash_from_flat
@@ -163,7 +178,9 @@ def signature_batch(
     sigs = minhash_from_flat(sh_flat, sh_lengths, num_perm, seed)
     sims = simhash_from_flat(sh_flat, sh_lengths)
     bnd = band_keys_from_signatures(sigs, bands, rows_per_band)
-    cols = {"shingle_hashes": sh_list}
+    cols = {}
+    if include_shingles:
+        cols["shingle_hashes"] = sh_list
     if include_signature:
         cols["signature"] = list(sigs)
     cols["simhash"] = sims
@@ -171,19 +188,46 @@ def signature_batch(
     return pd.DataFrame(cols)
 
 
-def doc_signature_udf(config: DedupConfig, include_signature: bool = True):
-    """pandas UDF: array<long> token hashes -> struct(shingle_hashes,
+def doc_signature_udf(
+    config: DedupConfig,
+    include_signature: bool = True,
+    include_shingles: bool = True,
+):
+    """pandas UDF: array<long> token hashes -> struct([shingle_hashes,]
     [signature,] simhash, bands). One Python worker pass for all of them;
     pass include_signature=False on engine paths that never read the raw
-    signature so 128 longs/doc stay out of the Arrow transfer."""
+    signature so 128 longs/doc stay out of the Arrow transfer, and
+    include_shingles=False on pair-generation paths (verification recomputes
+    shingles lazily for the candidate-involved subset)."""
     k, num_perm, seed = config.shingle_k, config.num_perm, config.minhash_seed
     b, r = config.lsh_bands, config.lsh_rows_per_band
-    schema = SIGNATURE_SCHEMA if include_signature else FEATURES_SCHEMA
+    if not include_shingles:
+        schema = CHANNEL_SCHEMA
+        if include_signature:
+            raise ValueError("include_shingles=False implies engine shape")
+    else:
+        schema = SIGNATURE_SCHEMA if include_signature else FEATURES_SCHEMA
 
     @F.pandas_udf(schema)
     def _sig(tok: pd.Series) -> pd.DataFrame:
         return signature_batch(
-            tok, k, num_perm, seed, b, r, include_signature=include_signature
+            tok, k, num_perm, seed, b, r,
+            include_signature=include_signature,
+            include_shingles=include_shingles,
         )
 
     return _sig
+
+
+def shingle_hashes_udf(config: DedupConfig):
+    """pandas UDF: array<long> token hashes -> array<long> distinct k-window
+    shingle hashes. The verification-side twin of doc_signature_udf's
+    internal shingling (same window-hash polynomial, bit-identical arrays)
+    that skips the MinHash/SimHash kernels entirely."""
+    k = config.shingle_k
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sh(tok: pd.Series) -> pd.Series:
+        return shingle_hash_arrays(tok, k)
+
+    return _sh

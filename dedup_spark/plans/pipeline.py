@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
-from dedup_spark.functions.signatures import doc_signature_udf, token_hashes
+from dedup_spark.functions.signatures import (
+    doc_signature_udf,
+    shingle_hashes_udf,
+    token_hashes,
+)
 from dedup_spark.functions.simhash import hamming_distance, simhash_blocks
 from dedup_spark.operators.components import connected_components
 from dedup_spark.operators.exact import exact_dup_pairs
@@ -165,20 +169,27 @@ def candidate_and_verified_pairs(
     need_shingles = bool({"minhash", "simhash"} & set(channels))
     if need_shingles:
         # fused hot path: one cheap JVM lambda (token xxhash64) + ONE Arrow
-        # round trip computing shingle hashes, MinHash signature, and SimHash
-        # together (functions/signatures.py — interpreted Catalyst lambdas for
-        # string shingling measured ~70x slower than this)
-        # include_signature=False: the raw 128-long signatures never leave
-        # the Python worker (bands are folded in-UDF) — ~1 GB less Arrow
-        # serde per 10^6 docs
-        feats = docs.select(
-            "id",
-            doc_signature_udf(config, include_signature=False)(
-                token_hashes("text")
-            ).alias("s"),
-        ).select("id", "s.shingle_hashes", "s.simhash", "s.bands")
-        feats = spill(feats.filter(F.size("shingle_hashes") > 0), config, "feats")
-        shingles = feats.select("id", "shingle_hashes")
+        # round trip computing MinHash band keys and SimHash together
+        # (functions/signatures.py — interpreted Catalyst lambdas for string
+        # shingling measured ~70x slower than this).
+        # include_signature=False + include_shingles=False: neither the raw
+        # 128-long signatures nor the ~130-long shingle arrays leave the
+        # Python worker (bands are folded in-UDF) — together ~2 GB less
+        # Arrow serde per 10^6 docs, and the feats spill shrinks ~785 MB ->
+        # ~170 MB per 600k docs. Shingle sets are recomputed lazily below
+        # for ONLY the candidate-involved docs (measured 8% at 600k).
+        feats = (
+            docs.select("id", token_hashes("text").alias("_tok"))
+            .filter(F.size("_tok") > 0)  # == old size(shingle_hashes) > 0
+            .select(
+                "id",
+                doc_signature_udf(
+                    config, include_signature=False, include_shingles=False
+                )(F.col("_tok")).alias("s"),
+            )
+            .select("id", "s.simhash", "s.bands")
+        )
+        feats = spill(feats, config, "feats")
 
     near_cands = []
     if "minhash" in channels:
@@ -205,7 +216,30 @@ def candidate_and_verified_pairs(
                 .groupBy("id_a", "id_b")
                 .agg(F.min_by("channel", "_p").alias("channel"))
             )
-        all_pairs.append(verify_pairs_jaccard(cand, shingles, config))
+        # lazy verification shingles: compute the k-window hash sets for
+        # ONLY the docs that appear in a candidate pair (the same window
+        # polynomial as the signature UDF — bit-identical arrays), instead
+        # of shipping and spilling shingle arrays for the whole corpus.
+        # cand is spilled because it feeds both the id list and the verify
+        # join (recomputing it would re-run the pair generators).
+        cand = spill(cand, config, "cand")
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .unionByName(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        ver_shingles = (
+            docs.join(cand_ids, "id", "left_semi")
+            .select(
+                "id",
+                shingle_hashes_udf(config)(token_hashes("text")).alias(
+                    "shingle_hashes"
+                ),
+            )
+        )
+        # read twice by the verify join (a and b sides)
+        ver_shingles = spill(ver_shingles, config, "ver_sh")
+        all_pairs.append(verify_pairs_jaccard(cand, ver_shingles, config))
 
     if "suffix" in channels:
         from dedup_spark.operators.lsh import PAIR_CAP_ALL
