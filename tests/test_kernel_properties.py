@@ -192,3 +192,46 @@ def test_longest_common_run_matches_dp(a, b):
     assert longest_common_run(
         np.array(a, dtype=np.int64), np.array(b, dtype=np.int64)
     ) == _naive_lcs_run(a, b)
+
+
+# --- lazy verification shingles (plans/pipeline.py): the engine computes
+# pair-generation features WITHOUT shingle arrays and recomputes shingle
+# sets later (shingle_hash_arrays) for only the candidate-involved docs.
+# Soundness rests on two identities pinned here: the shingle-free batch
+# returns the same simhash/bands, and the standalone shingle kernel is
+# bit-identical to the fused batch's shingle_hashes column.
+
+TOK_DOCS = st.lists(
+    st.one_of(st.none(), st.lists(I64, max_size=30)), min_size=1, max_size=8
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(TOK_DOCS, st.integers(min_value=2, max_value=5))
+def test_channel_batch_equals_full_batch(docs, k):
+    from dedup_spark.functions.signatures import signature_batch
+
+    tok = pd.Series(docs, dtype=object)
+    full = signature_batch(tok, k, 16, 7, 4, 4, include_signature=False)
+    chan = signature_batch(
+        tok, k, 16, 7, 4, 4, include_signature=False, include_shingles=False
+    )
+    assert list(chan.columns) == ["simhash", "bands"]
+    assert list(chan["simhash"]) == list(full["simhash"])
+    for a, b in zip(chan["bands"], full["bands"]):
+        assert list(a) == list(b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(TOK_DOCS, st.integers(min_value=2, max_value=5))
+def test_lazy_shingles_bit_identical_to_fused(docs, k):
+    from dedup_spark.functions.signatures import (
+        shingle_hash_arrays,
+        signature_batch,
+    )
+
+    tok = pd.Series(docs, dtype=object)
+    fused = signature_batch(tok, k, 16, 7, 4, 4)["shingle_hashes"]
+    lazy = shingle_hash_arrays(tok, k)
+    for a, b in zip(lazy, fused):
+        assert sorted(a) == sorted(b)
