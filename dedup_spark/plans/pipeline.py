@@ -117,40 +117,41 @@ def simhash_candidate_pairs(
     hub-connected and must survive the Hamming cut + Jaccard verification
     through their hubs — the explicit ultra-hot recall tradeoff documented
     in operators/lsh (surfaced via hot_buckets, never silent; planted-pair
-    test in tests/test_lsh_salting.py pins the exhaustive tier). The
-    Hamming-distance cut is applied per generated pair (exact Jaccard
-    verification re-filters after).
+    test in tests/test_lsh_salting.py pins the exhaustive tier).
+
+    The Hamming-distance cut runs INSIDE the bucket task: the 8-byte
+    fingerprint rides the collect_list as a member payload and the generator
+    applies bit_count(xor) <= hamming_max per pair inline
+    (pair_predicate). 16-bit block values collide heavily by design —
+    measured at 600k docs: 11.28M block-bucket pairs, 72k within the ball —
+    so generating first and filtering after shuffled those 11.2M rows
+    through a distinct plus TWO fingerprint equi-joins. The emitted pair set
+    is identical (property-pinned in tests/test_lsh_salting.py).
     """
     from dedup_spark.operators.lsh import salted_pairs_from_buckets
 
     exploded = sims.select(
         "id",
+        F.col("simhash").alias("_p"),
         F.posexplode(simhash_blocks("simhash", config)).alias(
             "band_idx", "band_key"
         ),
     ).select(
         "id",
+        "_p",
         # fold the probe-table index into the key: the generator buckets on
         # ONE long (same block value in different blocks must not co-bucket)
         F.xxhash64("band_idx", "band_key").alias("band_key"),
     )
-    cand = salted_pairs_from_buckets(
+    hmax = F.lit(config.simhash_hamming_max)
+    return salted_pairs_from_buckets(
         exploded,
         channel="simhash",
         nsalt=config.bucket_salts,
         spill_dir=config.spill_dir,
-    )
-    a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("_sh_a"))
-    b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("_sh_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(
-            hamming_distance(F.col("_sh_a"), F.col("_sh_b"))
-            <= F.lit(config.simhash_hamming_max)
-        )
-        .select("id_a", "id_b", "channel")
-    )
+        payload_col="_p",
+        pair_predicate=lambda pa, pb: hamming_distance(pa, pb) <= hmax,
+    ).select("id_a", "id_b", "channel")
 
 
 def candidate_and_verified_pairs(

@@ -173,6 +173,49 @@ def test_planted_hot_block_cross_salt_near_pair_survives(spark):
     assert (min(a, b), max(a, b)) in got
 
 
+def test_inline_pair_predicate_equals_post_filter(spark):
+    """payload_col + pair_predicate must emit EXACTLY the pairs that survive
+    a post-generation filter — across all three tiers (exhaustive small/mid,
+    ultra-hot salted star) in one randomized input. This is the identity the
+    SimHash channel's inline Hamming cut rests on."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    nid = 0
+    for b, size in enumerate([2, 5, 64, 65, 300, 1200]):
+        for _ in range(size):
+            rows.append((b, nid, rng.randrange(0, 16)))
+            nid += 1
+    df = spark.createDataFrame(rows, "band_key long, id long, p long")
+    payload = {i: p for _, i, p in rows}
+
+    def pred(pa, pb):  # arbitrary symmetric Column predicate
+        return ((pa + pb) % F.lit(3)) == F.lit(0)
+
+    plain = salted_pairs_from_buckets(
+        df.select("band_key", "id"), "x", nsalt=8, pair_cap_cross=128
+    )
+    want = {
+        (r.id_a, r.id_b)
+        for r in plain.collect()
+        if (payload[r.id_a] + payload[r.id_b]) % 3 == 0
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in salted_pairs_from_buckets(
+            df,
+            "x",
+            nsalt=8,
+            pair_cap_cross=128,
+            payload_col="p",
+            pair_predicate=pred,
+        ).collect()
+    }
+    assert got == want
+    assert want  # non-vacuous: the predicate keeps a real subset
+
+
 def test_randomized_tier_sweep_matches_exhaustive_reference(spark):
     """Property sweep: mixed bucket sizes spanning all three tiers in one
     input. Every bucket at or below pair_cap_cross must be EXHAUSTIVE
