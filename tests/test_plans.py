@@ -94,6 +94,23 @@ def test_pipeline_pairs_have_no_cartesian_product(spark, pages, config):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_simhash_hamming_cut_is_inline_no_pair_joins(spark, config):
+    """The SimHash channel's Hamming cut runs INSIDE the pair-generator
+    bucket task (payload + pair_predicate): the plan must contain the
+    bit_count(xor) expression but NO join keyed on the generated pair ids —
+    the old shape's post-generation distinct + two fingerprint equi-joins
+    shuffled ~11M block-collision pairs per 600k docs to keep 72k."""
+    import re
+
+    from dedup_spark.plans.pipeline import simhash_candidate_pairs
+
+    sims = spark.range(0, 200).select("id", F.xxhash64("id").alias("simhash"))
+    plan = plan_of(simhash_candidate_pairs(sims, config))
+    assert "bit_count" in plan, plan
+    assert not re.search(r"Join.*\bid_a\b", plan), plan
+    assert not re.search(r"Join.*\bid_b\b", plan), plan
+
+
 def test_decontaminate_broadcasts_eval_set(spark):
     """The eval shingle set is the broadcast side: the 100 TB train side must
     never shuffle for the contamination join (only the final per-doc count
