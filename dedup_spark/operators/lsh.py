@@ -151,6 +151,7 @@ def salted_pairs_from_buckets(
     spill_dir: str | None = None,
     payload_col: str | None = None,
     pair_predicate=None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Size-aware skew-proof pair generation (see module docstring).
 
@@ -178,6 +179,14 @@ def salted_pairs_from_buckets(
     600k/local[8]: collect_list partials over the ~95%-singleton bucket
     population plus the materialization cost more than the pruned re-reads.
     ``spill_dir`` is accepted for call-site symmetry and future use.
+
+    ``dedup=False`` skips the final cross-bucket ``distinct()`` and returns
+    raw generated pairs (a pair co-bucketed in b bands appears up to b
+    times). For a caller that immediately groupBy(id_a, id_b)-merges pairs
+    from several channels (the pipeline), the per-channel distinct is a
+    redundant extra shuffle of the same rows — one grouped shuffle over the
+    channel union dedups identically (map-side partial aggregation collapses
+    the ~32x band replication exactly like distinct's partials would).
     """
     if pair_cap_cross < pair_cap_all:
         pair_cap_cross = pair_cap_all
@@ -242,12 +251,10 @@ def salted_pairs_from_buckets(
         .select(F.explode(_all_pairs(members, pred)).alias("p"))
         .select("p.id_a", "p.id_b")
     )
-    return (
-        smallmid.unionByName(level1)
-        .unionByName(level2)
-        .distinct()
-        .withColumn("channel", F.lit(channel))
-    )
+    raw = smallmid.unionByName(level1).unionByName(level2)
+    if dedup:
+        raw = raw.distinct()
+    return raw.withColumn("channel", F.lit(channel))
 
 
 def lsh_candidate_pairs(
@@ -255,14 +262,17 @@ def lsh_candidate_pairs(
     config: DedupConfig = DEFAULT_CONFIG,
     id_col: str = "id",
     channel: str = "minhash",
+    dedup: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs from MinHash band-bucket co-membership
-    (size-aware salted generation — the scale path)."""
+    (size-aware salted generation — the scale path). ``dedup=False`` defers
+    cross-bucket dedup to the caller's own pair-merge shuffle."""
     return salted_pairs_from_buckets(
         explode_bands(with_bands, id_col),
         channel,
         nsalt=config.bucket_salts,
         spill_dir=config.spill_dir,
+        dedup=dedup,
     )
 
 

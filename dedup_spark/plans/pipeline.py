@@ -100,7 +100,7 @@ def spill_path(df: DataFrame, name: str, base_dir: str | None = None) -> DataFra
 
 
 def simhash_candidate_pairs(
-    sims: DataFrame, config: DedupConfig
+    sims: DataFrame, config: DedupConfig, dedup: bool = True
 ) -> DataFrame:
     """(id, simhash) -> pairs within the Hamming ball, via block probing.
 
@@ -151,6 +151,7 @@ def simhash_candidate_pairs(
         spill_dir=config.spill_dir,
         payload_col="_p",
         pair_predicate=lambda pa, pb: hamming_distance(pa, pb) <= hmax,
+        dedup=dedup,
     ).select("id_a", "id_b", "channel")
 
 
@@ -206,16 +207,33 @@ def candidate_and_verified_pairs(
         # dedupe candidates across channels (keep highest-priority
         # provenance) BEFORE verification, so the expensive join against the
         # wide shingle arrays runs ONCE over the union instead of once per
-        # channel
+        # channel.
+        # Per-channel distinct INSIDE the generators is kept deliberately:
+        # folding it into this merge (dedup=False channels + one grouped
+        # shuffle over the raw ~32x-replicated pair stream) was A-B-A-B
+        # measured 35% SLOWER e2e at 600k/local[8] pinned (old 71.3/77.5 s
+        # vs folded 108.9/96.4 s, two interleaved campaigns) — the per-
+        # channel distinct's early collapse beats the saved shuffle. Don't
+        # retry without fresh evidence.
         cand = near_cands[0]
         for c in near_cands[1:]:
             cand = cand.unionByName(c)
         if len(near_cands) > 1:
+            # primitive min over an int priority, decoded after: a string-
+            # buffered min_by(channel, _p) cannot use HashAggregate's mutable
+            # fixed-width buffer and plans a SortAggregate
             prio = F.when(F.col("channel") == "minhash", 1).otherwise(2)
             cand = (
-                cand.withColumn("_p", prio)
+                cand.select("id_a", "id_b", prio.alias("_p"))
                 .groupBy("id_a", "id_b")
-                .agg(F.min_by("channel", "_p").alias("channel"))
+                .agg(F.min("_p").alias("_p"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.when(F.col("_p") == 1, "minhash")
+                    .otherwise("simhash")
+                    .alias("channel"),
+                )
             )
         # lazy verification shingles: compute the k-window hash sets for
         # ONLY the docs that appear in a candidate pair (the same window
@@ -255,7 +273,10 @@ def candidate_and_verified_pairs(
     pairs = all_pairs[0]
     for p in all_pairs[1:]:
         pairs = pairs.unionByName(p)
-    # dedupe across channels, keep highest-priority provenance
+    # dedupe across channels, keep highest-priority provenance. Priority is
+    # an int min + decode, NOT min_by(channel, prio): a string-buffered
+    # min_by can't use the mutable fixed-width HashAggregate buffer, so
+    # Catalyst plans a SortAggregate — a full sort of the pair stream.
     prio = (
         F.when(F.col("channel") == "exact", 0)
         .when(F.col("channel") == "minhash", 1)
@@ -263,11 +284,21 @@ def candidate_and_verified_pairs(
         .otherwise(3)
     )
     return (
-        pairs.withColumn("_prio", prio)
+        pairs.select("id_a", "id_b", prio.alias("_prio"), "jaccard")
         .groupBy("id_a", "id_b")
         .agg(
-            F.min_by("channel", "_prio").alias("channel"),
+            F.min("_prio").alias("_prio"),
             F.max("jaccard").alias("jaccard"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("_prio") == 0, "exact")
+            .when(F.col("_prio") == 1, "minhash")
+            .when(F.col("_prio") == 2, "simhash")
+            .otherwise("suffix")
+            .alias("channel"),
+            "jaccard",
         )
     )
 

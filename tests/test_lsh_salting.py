@@ -254,3 +254,28 @@ def test_randomized_tier_sweep_matches_exhaustive_reference(spark):
     comps = _components(hot_pairs)
     hot_comp = next(c for c in comps if hot_ids[0] in c)
     assert set(hot_ids) <= hot_comp
+
+
+def test_dedup_false_equals_distinct_of_dedup_true(exploded):
+    """dedup=False is the SAME pair multiset modulo duplicates: distinct of
+    the raw output equals the dedup=True output exactly. This is the identity
+    the pipeline's fold-the-distinct-into-the-channel-merge shuffle rests on
+    (one grouped shuffle dedups within and across channels)."""
+    import pandas as pd
+
+    dd = (
+        salted_pairs_from_buckets(exploded, "x", nsalt=8)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    raw = (
+        salted_pairs_from_buckets(exploded, "x", nsalt=8, dedup=False)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    got = {tuple(r) for r in raw.values}
+    want = {tuple(r) for r in dd.values}
+    assert got == want
+    # non-vacuous: the raw output really does carry cross-bucket duplicates
+    # (the bridge doc c0000 co-buckets pairs in two bands)
+    assert len(raw) >= len(dd)
