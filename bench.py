@@ -95,11 +95,12 @@ def main() -> None:
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
     # The shared virtualized host drifts 2-3x between windows minutes apart
-    # (BENCH/BASELINE.md "host ceilings"); time the headline twice and keep
-    # the faster run as the steady-state number (each run recomputes the
-    # full pipeline — spills use fresh dirs, nothing is reused across runs).
+    # (BENCH/BASELINE.md "host ceilings"); time the headline five times and
+    # keep the fastest run as the steady-state number (each run recomputes
+    # the full pipeline — spills use fresh dirs, nothing is reused across
+    # runs; all raw runs are published for cross-round comparability).
     headline_runs = [timings["pipeline_end_to_end"]]
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         QUERIES["pipeline_end_to_end"](spark, sf_dir).count()
         rerun = round(time.perf_counter() - t0, 3)
