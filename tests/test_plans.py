@@ -229,3 +229,32 @@ def test_warc_ingest_one_task_per_archive_no_shuffle(spark, tmp_path):
     plan = plan_of(read_warc_pages(spark, str(tmp_path)))
     assert "MapInPandas" in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_no_sort_aggregate_in_any_contract_query(spark):
+    """Sweep every contract query's physical plan for SortAggregate.
+
+    A SortAggregate means an aggregate whose buffer cannot live in
+    HashAggregate's mutable fixed-width row (the classic trigger: a string-
+    buffered min_by/max_by) — a full sort of the aggregated stream. The
+    engine's pair paths were bitten once (min_by(channel, prio), fixed to a
+    primitive min+decode in plans/pipeline.py); this guard keeps the whole
+    contract surface free of the bug class. ObjectHashAggregate is allowed:
+    it is the standard exec for collect_list/collect_set, which the bucket
+    pair generators use by design. Streaming queries run their micro-batch
+    harness during construction and are skipped here — their plans are
+    pinned by tests/test_streaming.py.
+    """
+    from dedup_spark.queries import QUERIES
+
+    skip = {"s9_stream_ingest", "s10_stream_first_seen",
+            "n9_checkpoint_resume", "pipeline_end_to_end"}
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name in skip:
+            continue
+        plan = plan_of(fn(spark, SF_DIR))
+        n = plan.count("SortAggregate")
+        if n:
+            offenders[name] = n
+    assert not offenders, offenders
