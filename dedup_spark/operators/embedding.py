@@ -41,51 +41,124 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
 
 
 def banding_for_threshold(
-    threshold: float, n_bits: int = 128, target_miss: float = 5e-3
+    threshold: float,
+    n_bits: int = 128,
+    target_miss: float = 5e-3,
+    n: int | None = None,
+    cand_per_vec: float = 8.0,
+    max_bits: int = 4096,
+    legacy_budget: float = 2e6,
 ) -> tuple[int, int]:
     """(bands, rows_per_band) whose S-curve recalls cosine>=threshold pairs.
 
     P[sign bit matches] = 1 - arccos(t)/pi (Charikar 2002); a pair at cosine t
-    is missed with prob (1 - p^r)^b. Pick the LARGEST r (most selective
-    buckets, fewest spurious candidates) whose miss prob at the threshold is
-    <= target_miss — high thresholds get r=8 (strong pruning), low thresholds
-    degrade smoothly toward r=2/r=1 where LSH inherently cannot prune (a
-    cosine-0.45 "near dup" is 63 degrees away: most of the sphere collides).
+    is missed with prob (1 - p^r)^b. With ``n`` unset: pick the LARGEST r
+    (most selective buckets, fewest spurious candidates) within a fixed
+    ``n_bits`` budget whose miss prob at the threshold is <= target_miss —
+    high thresholds get r=8 (strong pruning), low thresholds degrade smoothly
+    toward r=2/r=1 where LSH inherently cannot prune (a cosine-0.45 "near
+    dup" is 63 degrees away: most of the sphere collides).
+
+    **Band width must scale with corpus size** (pass ``n``), for two
+    measured reasons (both from a 1M dim-64 / threshold-0.95 run):
+
+    1. *Recall*: an r-bit band has only 2^r buckets, so expected buckets
+       hold n/2^r members regardless of similarity — the fixed-budget r=8
+       put ~3,900 vectors in every bucket, the size-aware pair generator
+       starred them all (>1024 = hub-mediated), and planted-pair recall
+       collapsed to ~2%.
+    2. *Cost*: a random pair (theta ~ 90 deg, bit-match prob ~1/2) collides
+       in one band with prob ~2^-r, so expected spurious candidates are
+       ~ b * n^2 / 2^(r+1). Fixing recall by only adding bands (b=46 at
+       r=16) produced ~350M spurious pairs whose exact-cosine verify join
+       spilled >110 GB and OOM-killed the JVM.
+
+    With ``n`` set, the rule picks the SMALLEST r whose expected random
+    collisions per vector, b(r) * n * 2^-r, stay under ``cand_per_vec``,
+    where b(r) = ceil(ln(miss) / ln(1 - p^r)) enforces a TIGHTENED per-pair
+    miss bound min(target_miss, 1e-4) at the threshold (at corpus scale the
+    true-pair count multiplies any per-pair miss rate) and b*r <= max_bits.
+    The same 1M run then recalls 10,000/10,000 planted pairs at ~5M spurious
+    candidates. If no r meets the candidate target within the bits budget
+    (loose thresholds at large n: the geometry admits no selective family —
+    Charikar's rho = ln(p1)/ln(p2) is too close to 1), the bits-feasible r
+    with the fewest expected collisions is used: cost then grows toward
+    quadratic and over-cap buckets are surfaced via hot-bucket reporting,
+    the same documented trade as the text channels. Small jobs never churn:
+    when the fixed-budget choice's expected spurious total b * n^2 / 2^(r+1)
+    is already under ``legacy_budget`` pairs, it is returned unchanged (the
+    driver-scale plans keep their proven banding).
     """
     import math
 
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    legacy: tuple[int, int] = (n_bits, 1)
     for r in (16, 8, 4, 2, 1):
         b = n_bits // r
         if (1.0 - p**r) ** b <= target_miss:
-            return b, r
-    return n_bits, 1
+            legacy = (b, r)
+            break
+    if n is None or n <= 1:
+        return legacy
+    if legacy[0] * n * (n - 1) * 2.0 ** -(legacy[1] + 1) <= legacy_budget:
+        return legacy
+    miss = min(target_miss, 1e-4)
+    best: tuple[int, int] | None = None
+    best_cand = math.inf
+    for r in range(max(2, legacy[1]), 49):
+        pr = p**r
+        if pr >= 1.0:
+            break
+        # ln(1 - p^r) underflows for tiny p^r; log1p is exact enough
+        b = math.ceil(math.log(miss) / math.log1p(-pr))
+        if b * r > max_bits:
+            continue
+        cand = b * n * 2.0**-r  # expected random collisions per vector
+        if cand <= cand_per_vec:
+            return b, r  # smallest such r = fewest bits that meet both
+        if cand < best_cand:
+            best, best_cand = (b, r), cand
+    return best if best is not None else legacy
+
+
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit golden-ratio constant
+
+
+def _band_keys_numpy(
+    X: np.ndarray, H: np.ndarray, bands: int, rows_per_band: int
+) -> np.ndarray:
+    """(n, dim) float matrix -> (n, bands) int64 band-mixed bucket keys.
+
+    Sign pattern of (X @ H) gives bands*rows bits per vector; each band's
+    r-bit slice packs into one long. The band index is mixed in by a
+    multiply-hash (packed ^ band * odd64) — NOT the old `packed ^ (band <<
+    56)`, which wraps for band >= 256 (the size-aware banding can pick
+    hundreds of bands at loose thresholds) and silently merged band 146
+    with band 402. A multiply-mix collision is ~2^-64 per band pair and
+    only merges buckets (extra candidates, removed by exact verification).
+    """
+    bits = (X @ H) > 0  # (n, n_bits)
+    weights = np.uint64(1) << np.arange(rows_per_band, dtype=np.uint64)
+    keys = np.empty((len(X), bands), dtype=np.int64)
+    for b in range(bands):
+        block = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+        packed = (block.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        keys[:, b] = (packed ^ (np.uint64(b) * _BAND_MIX)).view(np.int64)
+    return keys
 
 
 def hyperplane_band_udf(
     dim: int, bands: int, rows_per_band: int, seed: int
 ):
-    """pandas UDF: embedding -> array<long> of per-band bucket keys.
-
-    Sign pattern of (X @ H) gives bands*rows bits per vector; each band's
-    r-bit slice packs into one long (band index mixed in, mirroring
-    functions/minhash.band_keys).
+    """pandas UDF: embedding -> array<long> of per-band bucket keys
+    (numpy kernel: `_band_keys_numpy`, mirroring functions/minhash.band_keys).
     """
-    n_bits = bands * rows_per_band
-    H = _hyperplanes(dim, n_bits, seed)
-    weights = (np.uint64(1) << np.arange(rows_per_band, dtype=np.uint64))
+    H = _hyperplanes(dim, bands * rows_per_band, seed)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _bands(emb: pd.Series) -> pd.Series:
         X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
-        bits = (X @ H) > 0  # (n, n_bits)
-        keys = np.empty((len(emb), bands), dtype=np.int64)
-        for b in range(bands):
-            block = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
-            packed = (block.astype(np.uint64) * weights[None, :]).sum(axis=1)
-            # mix band index so identical sign-slices in different bands differ
-            keys[:, b] = (packed ^ (np.uint64(b) << np.uint64(56))).view(np.int64)
-        return pd.Series(list(keys))
+        return pd.Series(list(_band_keys_numpy(X, H, bands, rows_per_band)))
 
     return _bands
 
@@ -106,20 +179,33 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     bands: int | None = None,
     rows_per_band: int | None = None,
+    expected_n: int | None = None,
 ) -> DataFrame:
     """(id, embedding) -> (id_a, id_b, cosine, channel='embedding') pairs with
     exact cosine >= threshold, candidates from hyperplane-LSH banding.
 
-    Banding auto-adapts to the threshold (`banding_for_threshold`) so the
-    S-curve sits below it: at 0.95 (angle ~18°) r=8/b=16 misses a true pair
-    with prob ~4e-4; at a loose 0.45 it degrades to r=2/b=64 where candidate
-    recall stays ~1 at the cost of selectivity (inherent to the geometry, not
-    the plan). Pair generation is the size-aware salted bucket machinery, so
-    a degenerate bucket (e.g. all-zero sketches of boilerplate embeddings)
+    Banding auto-adapts to the threshold AND the corpus size
+    (`banding_for_threshold`): the S-curve sits below the threshold — at
+    0.95 (angle ~18°) a true pair is missed with prob <= 1e-4 — while the
+    band width r grows with log2(n) so buckets stay far under the pair
+    generator's star cap AND spurious random collisions stay ~linear in n
+    (measured at 1M dim-64 vectors: the fixed 128-bit banding put ~3,900
+    vectors in every bucket and planted-pair recall collapsed to ~2%;
+    recall-only widening (b=46, r=16) produced ~350M spurious verify pairs
+    and an OOM; the candidate-bounded rule (b=115, r=24) recalls
+    10,000/10,000 planted pairs at ~5M spurious candidates).
+    ``expected_n`` skips the one count() job when the caller knows the
+    corpus size; explicit bands/rows_per_band skip adaptation entirely.
+    Pair generation is the size-aware salted bucket machinery, so a
+    degenerate bucket (e.g. all-zero sketches of boilerplate embeddings)
     stars instead of exploding quadratically.
     """
     if bands is None or rows_per_band is None:
-        bands, rows_per_band = banding_for_threshold(threshold)
+        if expected_n is None:
+            # one cheap job (parquet footers / cached input); callers on a
+            # hot path pass expected_n instead
+            expected_n = vectors.count()
+        bands, rows_per_band = banding_for_threshold(threshold, n=expected_n)
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )

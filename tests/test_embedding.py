@@ -154,3 +154,55 @@ def test_train_centroids_deterministic_unit_norm(vectors):
     c2 = train_centroids(v, n_centroids=8, id_col="id", vec_col="v", seed=7)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_banding_scales_with_corpus_size():
+    """Band width r must grow with n: an r-bit band has 2^r buckets, so at
+    n vectors expected buckets hold n/2^r members and blow past the pair
+    generator's star cap if r stays at the fixed-128-bit choice (measured
+    at 1M dim-64 vectors / threshold 0.95: recall collapsed to ~2% before
+    the size-aware rule; 10,000/10,000 planted pairs after)."""
+    import math
+
+    from dedup_spark.operators.embedding import banding_for_threshold
+
+    # small n: identical to the fixed-budget answer (driver plans unchanged)
+    assert banding_for_threshold(0.95, n=1000) == banding_for_threshold(0.95)
+
+    p95 = 1 - math.acos(0.95) / math.pi
+    prev_r = 0
+    for n in (20_000, 1_000_000, 100_000_000):
+        b, r = banding_for_threshold(0.95, n=n)
+        assert r >= prev_r, "r must be monotone in n"
+        prev_r = r
+        # expected uniform bucket stays far under the >1024 star tier
+        assert n / 2**r <= 16
+        # the S-curve miss bound at the threshold holds (tightened target)
+        assert (1 - p95**r) ** b <= 1e-4
+        assert b * r <= 4096
+
+    # loose threshold at large n: the bits budget caps out and r steps down
+    # (documented geometry limit — buckets then exceed the star cap and the
+    # residual loss is surfaced via hot-bucket reporting)
+    b, r = banding_for_threshold(0.45, n=1_000_000)
+    assert b * r <= 4096
+    p45 = 1 - math.acos(0.45) / math.pi
+    assert (1 - p45**r) ** b <= 1e-4
+
+
+def test_band_key_mixing_supports_many_bands():
+    """The band-index mix must keep bands distinct past 255 bands: the old
+    `packed ^ (band << 56)` wrapped mod 2^64 (band 146 == band 402), merging
+    unrelated buckets. The multiply-mix keeps every (band, packed) key
+    distinct across all bands for the same sign slice."""
+    import numpy as np
+
+    from dedup_spark.operators.embedding import _band_keys_numpy, _hyperplanes
+
+    bands, r, dim = 512, 6, 8
+    H = _hyperplanes(dim, bands * r, seed=7)
+    X = np.random.default_rng(3).standard_normal((4, dim))
+    keys = _band_keys_numpy(X, H, bands, r)
+    assert keys.shape == (4, bands)
+    for row in keys:
+        assert len(set(row.tolist())) == bands, "cross-band key collision"
