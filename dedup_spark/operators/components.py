@@ -3,10 +3,18 @@
 DataFrame-native iterative min-label propagation (cf. Rastogi et al.,
 "Finding connected components in map-reduce in logarithmic rounds", ICDE 2013
 — see PAPERS.md): every node repeatedly adopts the minimum label in its
-closed neighborhood until fixpoint. Dedup graphs are unions of near-cliques
-(star/all-pair bucket edges), so diameters are tiny and convergence takes a
-handful of rounds; `localCheckpoint` after every round cuts the lineage that
-would otherwise grow the plan exponentially (SURVEY.md §4.2 #3).
+closed neighborhood, then dereferences its own label's label (pointer
+doubling / path compression), until fixpoint. The neighbor-min step alone
+converges in O(diameter) rounds — fine for the near-clique graphs LSH
+buckets produce (star/all-pair edges, diameter <= 2 per bucket), but a
+CHAIN of near-dups across overlapping buckets (page1 ~ page2 ~ ... ~ pageK,
+drifting boilerplate in a crawl) has diameter K and would exhaust any fixed
+iteration cap, silently mislabeling. The doubling step halves remaining
+path lengths each round, so convergence is O(log diameter): 50 iterations
+cover diameters up to ~2^50, and exhausting the cap raises instead of
+returning wrong labels. `localCheckpoint` after every round cuts the
+lineage that would otherwise grow the plan exponentially (SURVEY.md §4.2
+#3).
 
 Works directly on string ids (urls): labels are min-strings. No hashing of
 node ids means no 64-bit collision risk merging unrelated clusters at
@@ -54,20 +62,48 @@ def connected_components(
             .groupBy(sym.id_a.alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
+            # checkpoint before the self-join below or the neighbor agg
+            # subtree computes twice in one round
+            .localCheckpoint(eager=True)
+        )
+        # pointer doubling: adopt the label of your current label (labels are
+        # node ids, so the dereference is a self-join; labels only decrease,
+        # so least() keeps the pass monotone and the fixpoint identical)
+        deref = stepped.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            stepped.join(deref, stepped.label == deref._lid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("_llabel", F.col("label"))
+                ).alias("label"),
+                "_old",
+            )
+            .withColumn("_changed", F.col("label") < F.col("_old"))
+            .drop("_old")
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in "
+            f"{config.cc_max_iterations} rounds (graph diameter > "
+            f"~2^{config.cc_max_iterations}): refusing to return partial "
+            "labels"
+        )
 
     return labels.select("id", F.col("label").alias("cluster_id"))

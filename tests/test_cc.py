@@ -49,3 +49,24 @@ def test_bridge_merge(spark):
     )
     labels = _cc(spark, edges)
     assert set(labels.values()) == {"a0"}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """A 300-node chain (diameter 300) — the drifting-boilerplate shape a
+    crawl produces across overlapping LSH buckets. Plain neighbor-min
+    propagation needs ~300 rounds and would exhaust any practical cap,
+    silently mislabeling before the r4 fix; pointer doubling converges in
+    O(log d), so 12 rounds MUST suffice (log2(300) ~ 8.2). The tight cap is
+    the proof: exhaustion now raises instead of returning partial labels."""
+    n = 300
+    edges = [(f"n{i:04d}", f"n{i+1:04d}") for i in range(n - 1)]
+    labels = _cc(spark, edges, cc_max_iterations=12)
+    assert len(labels) == n
+    assert set(labels.values()) == {"n0000"}
+
+
+def test_nonconvergence_raises_instead_of_partial_labels(spark):
+    """With a cap too small even for doubling, the operator must refuse."""
+    edges = [(f"n{i:04d}", f"n{i+1:04d}") for i in range(299)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, edges, cc_max_iterations=2)
