@@ -152,3 +152,58 @@ def test_stateful_first_seen_matches_batch_order(spark, config, stream_src, tmp_
     }
     assert got == want
     assert any(not v[0] for v in got.values())  # planted dups exercised
+
+
+def test_watermark_drop_is_surfaced_and_sized_watermark_keeps_all(
+    spark, config, tmp_path
+):
+    """Backfill semantics pinned (the 600k measurement in miniature): rows
+    behind the advancing watermark are silently filtered before the
+    stateful operator, so (a) run_stream_to_parquet must SURFACE the drop
+    count, and (b) a watermark sized to the source's event-time span keeps
+    every arrival."""
+    import datetime
+    import time as _time
+
+    from dedup_spark.streaming.ingest import run_stream_to_parquet
+    from dedup_spark.streaming.stateful import stream_first_seen
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string"
+    )
+    ts = datetime.datetime(2024, 1, 5)
+    old_ts = datetime.datetime(2024, 1, 1)  # 4 days earlier
+    src = str(tmp_path / "src")
+    # the watermark applies with a ONE-BATCH LAG: batch 1's max event time
+    # becomes the filter only from batch 3 on, so three batches are needed
+    # to observe the drop (the 600k measurement showed the same shape:
+    # batches 0/1 dropped 0, batches 2/3 dropped ~149k each)
+    batches = [
+        [("u1", ts, None, "fresh text", "en", "s")],
+        [("u2", ts + datetime.timedelta(minutes=1), None, "more fresh", "en", "s")],
+        [("u3", old_ts, None, "stale text", "en", "s"),
+         ("u4", old_ts, None, "stale text two", "en", "s")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(1.2)  # file-source admission orders by mtime
+
+    def drain(watermark, tag):
+        out, ckpt = str(tmp_path / f"out{tag}"), str(tmp_path / f"ck{tag}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        dropped = run_stream_to_parquet(
+            stream_first_seen(stream, config, watermark=watermark), out, ckpt
+        )
+        return dropped, spark.read.parquet(out).count()
+
+    dropped_tight, kept_tight = drain("10 minutes", "tight")
+    assert dropped_tight == 2 and kept_tight == 2
+
+    dropped_wide, kept_wide = drain("10 days", "wide")
+    assert dropped_wide == 0 and kept_wide == 4
