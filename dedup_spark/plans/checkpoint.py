@@ -251,6 +251,7 @@ def run_dedup_checkpointed(
     input partition -> that partition's signatures plus the global suffix
     recompute.
     """
+    from dedup_spark.functions.signatures import doc_signature_udf, token_hashes
     from dedup_spark.functions.text import normalize_text
     from dedup_spark.operators.scan import ingest_pages
 
@@ -279,19 +280,45 @@ def run_dedup_checkpointed(
     # sorted at creation: collect() order is nondeterministic across runs,
     # and stage processing / progress-log order should be stable
     parts = sorted(r[0] for r in fp_rows)
-    fps = {r[0]: f"n={r['n']},h={r['h']}" for r in fp_rows}
+    # "v2|": stage-format version. The prepared parquet now carries the
+    # per-doc signature features (simhash, bands); versioning the fingerprint
+    # invalidates pre-v2 checkpoints exactly once instead of replaying a
+    # schema the global stage can no longer consume.
+    fps = {r[0]: f"v2|n={r['n']},h={r['h']}" for r in fp_rows}
 
-    prepared = run.partitioned_stage(
-        "prepared",
-        parts,
-        lambda p: ingest_pages(pages.filter(F.col(partition_col) == p), config)
-        .select(
-            "url", "warc_ts", "text", "lang",
-            F.lit(p).alias("source"),
-            F.xxhash64(normalize_text("text")).alias("content_hash"),
-        ),
-        fps,
+    # Per-doc signature features are computed HERE, inside the per-partition
+    # resumable stage, not in the global dedup: the fused signature UDF is
+    # the single most expensive per-doc stage (~25% of e2e at 600k), and it
+    # is embarrassingly parallel per document — so a resume after one changed
+    # Iceberg partition re-signs ONE partition, never the corpus. Docs that
+    # tokenize to nothing get null features (same set the pipeline's
+    # size(_tok) > 0 filter drops); the two-step select pins ONE UDF eval.
+    sig_udf = doc_signature_udf(
+        config, include_signature=False, include_shingles=False
     )
+
+    def _build(p: str) -> DataFrame:
+        ing = ingest_pages(pages.filter(F.col(partition_col) == p), config)
+        has_tok = F.size("_tok") > 0
+        return (
+            ing.select(
+                "url", "warc_ts", "text", "lang",
+                F.lit(p).alias("source"),
+                F.xxhash64(normalize_text("text")).alias("content_hash"),
+                token_hashes("text").alias("_tok"),
+            )
+            .select(
+                "url", "warc_ts", "text", "lang", "source", "content_hash",
+                "_tok", sig_udf(F.col("_tok")).alias("_s"),
+            )
+            .select(
+                "url", "warc_ts", "text", "lang", "source", "content_hash",
+                F.when(has_tok, F.col("_s.simhash")).alias("simhash"),
+                F.when(has_tok, F.col("_s.bands")).alias("bands"),
+            )
+        )
+
+    prepared = run.partitioned_stage("prepared", parts, _build, fps)
 
     combined_fp = "|".join(f"{p}:{fps[p]}" for p in parts)
     members = run.stage(
@@ -305,8 +332,11 @@ def run_dedup_checkpointed(
 def _global_dedup(prepared: DataFrame, config: DedupConfig) -> DataFrame:
     from dedup_spark.plans.pipeline import run_dedup
 
+    # simhash/bands ride through: run_dedup detects the precomputed features
+    # and skips the signature UDF entirely (the global suffix is then pair
+    # generation + verify + CC — the only genuinely cross-partition work)
     pages = prepared.select(
         "url", "warc_ts", F.lit(None).cast("binary").alias("html"),
-        "text", "lang", "source",
+        "text", "lang", "source", "simhash", "bands",
     )
     return run_dedup(pages, config).members

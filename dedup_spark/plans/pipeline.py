@@ -159,7 +159,14 @@ def candidate_and_verified_pairs(
     docs: DataFrame, config: DedupConfig, channels: tuple[str, ...]
 ) -> DataFrame:
     """docs(id, text) -> verified pairs (id_a, id_b, channel) from all
-    enabled channels, deduped with channel priority exact > minhash > simhash."""
+    enabled channels, deduped with channel priority exact > minhash > simhash.
+
+    If `docs` already carries `simhash`/`bands` columns (the checkpointed
+    path precomputes them per input partition so a resume never re-signs
+    unchanged partitions), the fused signature UDF is skipped and the pair
+    generators read the precomputed features; rows with null simhash are
+    docs that produced no tokens (the same set the UDF path filters with
+    size(_tok) > 0)."""
     all_pairs = []
 
     if "exact" in channels:
@@ -169,7 +176,16 @@ def candidate_and_verified_pairs(
         )
 
     need_shingles = bool({"minhash", "simhash"} & set(channels))
-    if need_shingles:
+    precomputed = {"simhash", "bands"} <= set(docs.columns)
+    if need_shingles and precomputed:
+        # docs is a column-pruned read of the one combined spill (or of the
+        # per-partition checkpoint parquet), so the generators' multi-read
+        # pattern re-scans parquet, never a UDF — the spill-before-multi-read
+        # rule holds with zero extra materialization.
+        feats = docs.filter(F.col("simhash").isNotNull()).select(
+            "id", "simhash", "bands"
+        )
+    elif need_shingles:
         # fused hot path: one cheap JVM lambda (token xxhash64) + ONE Arrow
         # round trip computing MinHash band keys and SimHash together
         # (functions/signatures.py — interpreted Catalyst lambdas for string
@@ -310,6 +326,11 @@ def run_dedup(
 ) -> DedupResult:
     if config.suffix_enabled and "suffix" not in channels:
         channels = channels + ("suffix",)
+    # checkpointed path: per-partition precomputed features ride the input
+    # (see plans/checkpoint.py) and must survive ingest/id-assignment so the
+    # pair generators can skip the signature UDF on resume
+    precomputed = {"simhash", "bands"} <= set(pages.columns)
+    feat_cols = ["simhash", "bands"] if precomputed else []
     ingested = ingest_pages(pages, config)
 
     # compact long ids for every shuffle-heavy stage (operators/ids.py): band
@@ -328,6 +349,7 @@ def run_dedup(
             ).alias("source_rank"),
             "warc_ts",
             F.length("text").cast("long").alias("doc_bytes"),
+            *feat_cols,
         ),
         "url",
         "nid",
@@ -338,12 +360,13 @@ def run_dedup(
     # nid assignment for every downstream consumer.
     combined = spill(
         with_ids.select(
-            "nid", "url", "text", "source_rank", "warc_ts", "doc_bytes"
+            "nid", "url", "text", "source_rank", "warc_ts", "doc_bytes",
+            *feat_cols,
         ),
         config,
         "docs",
     )
-    docs = combined.select(F.col("nid").alias("id"), "text")
+    docs = combined.select(F.col("nid").alias("id"), "text", *feat_cols)
     idmap = combined.select("nid", "url", "source_rank", "warc_ts", "doc_bytes")
 
     # verified pairs are tiny relative to docs; persist so CC's checkpoint and

@@ -114,6 +114,51 @@ def test_assert_stable_aborts_on_drift(spark, pages, config, root):
         run.assert_stable(drifted, fp, ["url", "warc_ts"])
 
 
+def test_prepared_stage_carries_signature_features(spark, pages, config, root):
+    """The per-partition prepared parquet must carry the per-doc signature
+    features (simhash, bands): at 100 TB the fused signature UDF is the
+    dominant per-doc cost, and computing it inside the per-partition stage is
+    what makes a one-partition edit resume WITHOUT re-signing the corpus.
+    Also pins the null-for-empty semantics (a doc with no tokens gets null
+    features — the set the pipeline's size(_tok) > 0 filter drops)."""
+    run_dedup_checkpointed(pages, config, root)
+    prep = spark.read.parquet(os.path.join(root, "stage=prepared"))
+    assert {"simhash", "bands"} <= set(prep.columns)
+    n = prep.count()
+    with_feats = prep.filter(F.col("simhash").isNotNull())
+    assert with_feats.count() == n  # test corpus: every ingested doc tokenizes
+    # features must MATCH the pipeline's own UDF output bit-for-bit
+    from dedup_spark.functions.signatures import doc_signature_udf, token_hashes
+
+    recomputed = (
+        prep.select("url", token_hashes("text").alias("_tok"))
+        .select(
+            "url",
+            doc_signature_udf(config, include_signature=False, include_shingles=False)(
+                F.col("_tok")
+            ).alias("_s"),
+        )
+        .select("url", F.col("_s.simhash").alias("sim2"), F.col("_s.bands").alias("b2"))
+    )
+    joined = prep.join(recomputed, "url")
+    mismatch = joined.filter(
+        (F.col("simhash") != F.col("sim2")) | (F.col("bands") != F.col("b2"))
+    ).count()
+    assert mismatch == 0
+
+
+def test_precomputed_features_path_identical_to_udf_path(spark, pages, config, root):
+    """run_dedup with precomputed simhash/bands on the input (the resume
+    path) must produce exactly the clusters the in-pipeline UDF path does."""
+    from dedup_spark.plans.pipeline import run_dedup
+
+    direct = run_dedup(pages, config).members.toPandas()
+    ckpt = run_dedup_checkpointed(pages, config, root).toPandas()
+    a = sorted(map(tuple, direct[["url", "cluster_id", "is_representative"]].values))
+    b = sorted(map(tuple, ckpt[["url", "cluster_id", "is_representative"]].values))
+    assert a == b
+
+
 def test_metrics_table(spark, pages, config, root):
     run_dedup_checkpointed(pages, config, root)
     run = CheckpointedRun(spark, root, config)
