@@ -71,6 +71,7 @@ n = run_dedup_checkpointed(pages, config, root, run=run).count()
 dt = time.perf_counter() - t0
 print(json.dumps({"phase": phase, "sec": round(dt, 3), "members": n,
                   "computed": sorted(run.computed),
+                  "pairs_mode": run.pairs_mode,
                   "n_replayed": len(run.replayed)}))
 spark.stop()
 """
@@ -121,6 +122,7 @@ def main() -> None:
         "warm_s": results["warm"]["sec"],
         "touch1_s": results["touch1"]["sec"],
         "touch1_computed": results["touch1"]["computed"],
+        "touch1_pairs_mode": results["touch1"]["pairs_mode"],
         "touch1_over_cold": round(
             results["touch1"]["sec"] / results["cold"]["sec"], 3
         ),

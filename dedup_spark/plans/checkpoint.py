@@ -73,6 +73,9 @@ class CheckpointedRun:
         os.makedirs(os.path.join(root, "_markers"), exist_ok=True)
         self.replayed: list[str] = []  # stages served from checkpoint
         self.computed: list[str] = []  # stages actually executed
+        # how the pairs stage resolved: replay / incremental / full /
+        # full(<fallback reason>) — evidence for resume audits
+        self.pairs_mode: str = "none"
         self._lock = threading.Lock()  # metrics.jsonl + state lists
 
     # -- marker plumbing ----------------------------------------------------
@@ -254,6 +257,10 @@ def run_dedup_checkpointed(
     from dedup_spark.functions.signatures import doc_signature_udf, token_hashes
     from dedup_spark.functions.text import normalize_text
     from dedup_spark.operators.scan import ingest_pages
+    from dedup_spark.plans.incremental import (
+        pairs_config_digest,
+        signature_config_digest,
+    )
 
     spark = pages.sparkSession
     if run is None:
@@ -280,11 +287,14 @@ def run_dedup_checkpointed(
     # sorted at creation: collect() order is nondeterministic across runs,
     # and stage processing / progress-log order should be stable
     parts = sorted(r[0] for r in fp_rows)
-    # "v2|": stage-format version. The prepared parquet now carries the
-    # per-doc signature features (simhash, bands); versioning the fingerprint
-    # invalidates pre-v2 checkpoints exactly once instead of replaying a
-    # schema the global stage can no longer consume.
-    fps = {r[0]: f"v2|n={r['n']},h={r['h']}" for r in fp_rows}
+    # "v3|": stage-format version — the prepared parquet carries the per-doc
+    # signature features (simhash, bands), and the fingerprint embeds a
+    # digest of every config knob those features depend on (a changed
+    # shingle_k or banding must recompute, not replay stale features).
+    # Versioning invalidates pre-v3 checkpoints exactly once instead of
+    # replaying a schema the downstream stages can no longer consume.
+    sig_cfg = signature_config_digest(config)
+    fps = {r[0]: f"v3|cfg={sig_cfg}|n={r['n']},h={r['h']}" for r in fp_rows}
 
     # Per-doc signature features are computed HERE, inside the per-partition
     # resumable stage, not in the global dedup: the fused signature UDF is
@@ -320,23 +330,173 @@ def run_dedup_checkpointed(
 
     prepared = run.partitioned_stage("prepared", parts, _build, fps)
 
-    combined_fp = "|".join(f"{p}:{fps[p]}" for p in parts)
+    # pairs + members fingerprints share one prefix: the pairs-config digest
+    # first (so incremental eligibility is a prefix check — see _pairs_stage),
+    # then every partition's content fingerprint.
+    combined_fp = (
+        f"v3|cfg={pairs_config_digest(config)}|"
+        + "|".join(f"{p}:{fps[p]}" for p in parts)
+    )
+    pairs = _pairs_stage(run, prepared, combined_fp, config)
     members = run.stage(
         "members",
-        lambda: _global_dedup(prepared, config),
+        lambda: _members_from_pairs(prepared, pairs, config),
         combined_fp,
     )
     return members
 
 
-def _global_dedup(prepared: DataFrame, config: DedupConfig) -> DataFrame:
-    from dedup_spark.plans.pipeline import run_dedup
+def _pairs_version(fp: str) -> str:
+    import hashlib
 
-    # simhash/bands ride through: run_dedup detects the precomputed features
-    # and skips the signature UDF entirely (the global suffix is then pair
-    # generation + verify + CC — the only genuinely cross-partition work)
-    pages = prepared.select(
-        "url", "warc_ts", F.lit(None).cast("binary").alias("html"),
-        "text", "lang", "source", "simhash", "bands",
+    return hashlib.md5(fp.encode()).hexdigest()[:12]
+
+
+def _pairs_paths(root: str, fp: str) -> tuple[str, str, str]:
+    """Artifact paths for one CONTENT VERSION of the pairs stage: the data
+    parquet plus the two incremental sidecars live under a directory named
+    by a digest of the stage fingerprint. A new run writes a NEW version and
+    only then swings the marker to it (atomic os.replace), so the marker
+    always references a complete, mutually consistent artifact set — a crash
+    mid-write leaves unreferenced garbage (GC'd on the next success), never
+    a marker pointing at mixed state the incremental resume could reuse."""
+    v = _pairs_version(fp)
+    return (
+        os.path.join(root, "stage=pairs", v),
+        os.path.join(root, "stage=pairs_meta", v, "buckets"),
+        os.path.join(root, "stage=pairs_meta", v, "docsig"),
     )
-    return run_dedup(pages, config).members
+
+
+def _pairs_stage(
+    run: CheckpointedRun,
+    prepared: DataFrame,
+    combined_fp: str,
+    config: DedupConfig,
+) -> DataFrame:
+    """Global pairs stage with INCREMENTAL recompute on resume.
+
+    Replays when nothing changed (marker fingerprint match). When input
+    partitions changed but the previous run left a consistent artifact set
+    (pairs parquet + bucket-fingerprint and doc-signature sidecars) under the
+    SAME pairs-config digest, only the changed buckets regenerate and the
+    rest of the cached pair set is reused (plans/incremental.py has the
+    correctness model). Any violated invariant — config drift, suffix channel
+    on, ultra-hot near bucket, missing sidecars — falls back to the full
+    recompute, never to a silent approximation. run.pairs_mode records which
+    path ran ("replay" / "incremental" / "full" / "full(<reason>)")."""
+    from dedup_spark.plans.incremental import (
+        bucket_fingerprints,
+        doc_signatures,
+        full_pairs,
+        incremental_pairs,
+    )
+    from dedup_spark.plans.pipeline import spill
+
+    name = "pairs"
+    marker = run._read_marker(name)
+    path, buckets_path, docsig_path = _pairs_paths(run.root, combined_fp)
+    if marker and marker["fingerprint"] == combined_fp and os.path.exists(path):
+        run.replayed.append(name)
+        run.pairs_mode = "replay"
+        return run.spark.read.parquet(path)
+
+    t0 = time.perf_counter()
+    # current-corpus sidecar contents; spilled because the incremental path
+    # reads them multiple times (guard + diff + regen semi-joins) and the
+    # sidecar promotion re-reads them once more
+    new_buckets = spill(bucket_fingerprints(prepared, config), config, "nbkt")
+    new_docsig = spill(doc_signatures(prepared), config, "ndsg")
+
+    df = None
+    mode = "full"
+    head = combined_fp.split("|", 2)
+    prefix = f"{head[0]}|{head[1]}|"  # "v3|cfg=<digest>|"
+    old_path = old_buckets = old_docsig = None
+    if marker is not None:
+        old_path, old_buckets, old_docsig = _pairs_paths(
+            run.root, marker["fingerprint"]
+        )
+    can_incr = (
+        marker is not None
+        and marker["fingerprint"].startswith(prefix)
+        and not config.suffix_enabled
+        and os.path.exists(old_path)
+        and os.path.exists(old_buckets)
+        and os.path.exists(old_docsig)
+    )
+    if can_incr:
+        df, why = incremental_pairs(
+            prepared,
+            run.spark.read.parquet(old_path),
+            run.spark.read.parquet(old_buckets),
+            run.spark.read.parquet(old_docsig),
+            new_buckets,
+            new_docsig,
+            config,
+        )
+        mode = why if df is not None else f"full({why})"
+    if df is None:
+        df = full_pairs(prepared, config)
+    # write the NEW version (never touching the old one the plan still
+    # lazily reads), then swing the marker, then GC superseded versions
+    run._atomic_write(df, path)
+    out = run.spark.read.parquet(path)
+    rows = out.count()
+    run._atomic_write(new_buckets, buckets_path)
+    run._atomic_write(new_docsig, docsig_path)
+    run._write_marker(
+        StageRecord(
+            name, "", rows, round(time.perf_counter() - t0, 3),
+            combined_fp, time.time(),
+        )
+    )
+    keep = _pairs_version(combined_fp)
+    for base in (os.path.join(run.root, "stage=pairs"),
+                 os.path.join(run.root, "stage=pairs_meta")):
+        if os.path.isdir(base):
+            for entry in os.listdir(base):
+                if entry != keep and not entry.startswith("_staging_"):
+                    shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    run.computed.append(name)
+    run.pairs_mode = mode
+    return out
+
+
+def _members_from_pairs(
+    prepared: DataFrame, pairs: DataFrame, config: DedupConfig
+) -> DataFrame:
+    """Pairs -> clusters -> members (the cheap global tail: the verified
+    pair set is tiny relative to the corpus, so CC + representative
+    selection run on urls directly — no id-compaction pass needed, which is
+    what keeps a resume from paying a corpus-wide shuffle here)."""
+    from dedup_spark.operators.components import connected_components
+    from dedup_spark.operators.representatives import select_representatives
+    from dedup_spark.plans.pipeline import merge_channel_pairs
+
+    merged = merge_channel_pairs(
+        pairs.select(
+            F.col("url_a").alias("id_a"),
+            F.col("url_b").alias("id_b"),
+            "channel",
+            "jaccard",
+        )
+    )
+    labels = connected_components(merged.select("id_a", "id_b"), config)
+    idmap = prepared.select(
+        "url",
+        F.coalesce(
+            F.regexp_extract("source", r"(\d+)$", 1).try_cast("int"), F.lit(0)
+        ).alias("source_rank"),
+        "warc_ts",
+        F.length("text").cast("long").alias("doc_bytes"),
+    )
+    members = labels.select(F.col("id").alias("url"), "cluster_id").join(
+        idmap, "url"
+    )
+    return select_representatives(
+        members,
+        cluster_col="cluster_id",
+        order_cols=[F.col("source_rank").asc(), F.col("warc_ts").asc()],
+        id_col="url",
+    )

@@ -99,6 +99,26 @@ def spill_path(df: DataFrame, name: str, base_dir: str | None = None) -> DataFra
     return df.sparkSession.read.parquet(path)
 
 
+def simhash_exploded_keys(sims: DataFrame, config: DedupConfig) -> DataFrame:
+    """sims (with a `simhash` column) -> one probe row per (doc, probe
+    table): every input column is preserved and `band_key` is appended.
+    Shared by the SimHash pair channel and the incremental-resume bucket
+    fingerprints (plans/incremental.py), which must key buckets identically
+    or reuse decisions drift from the channel."""
+    keep = list(sims.columns)
+    return sims.select(
+        *keep,
+        F.posexplode(simhash_blocks("simhash", config)).alias(
+            "band_idx", "band_key"
+        ),
+    ).select(
+        *keep,
+        # fold the probe-table index into the key: the generator buckets on
+        # ONE long (same block value in different blocks must not co-bucket)
+        F.xxhash64("band_idx", "band_key").alias("band_key"),
+    )
+
+
 def simhash_candidate_pairs(
     sims: DataFrame, config: DedupConfig, dedup: bool = True
 ) -> DataFrame:
@@ -130,18 +150,8 @@ def simhash_candidate_pairs(
     """
     from dedup_spark.operators.lsh import salted_pairs_from_buckets
 
-    exploded = sims.select(
-        "id",
-        F.col("simhash").alias("_p"),
-        F.posexplode(simhash_blocks("simhash", config)).alias(
-            "band_idx", "band_key"
-        ),
-    ).select(
-        "id",
-        "_p",
-        # fold the probe-table index into the key: the generator buckets on
-        # ONE long (same block value in different blocks must not co-bucket)
-        F.xxhash64("band_idx", "band_key").alias("band_key"),
+    exploded = simhash_exploded_keys(sims.select("id", "simhash"), config).select(
+        "id", F.col("simhash").alias("_p"), "band_key"
     )
     hmax = F.lit(config.simhash_hamming_max)
     return salted_pairs_from_buckets(
@@ -155,11 +165,18 @@ def simhash_candidate_pairs(
     ).select("id_a", "id_b", "channel")
 
 
-def candidate_and_verified_pairs(
+def channel_pair_sets(
     docs: DataFrame, config: DedupConfig, channels: tuple[str, ...]
 ) -> DataFrame:
-    """docs(id, text) -> verified pairs (id_a, id_b, channel) from all
-    enabled channels, deduped with channel priority exact > minhash > simhash.
+    """docs(id, text) -> per-channel verified pairs WITHOUT the final
+    cross-channel priority merge: (id_a, id_b, channel, jaccard, ghash).
+
+    `ghash` is the exact channel's content-hash group key (null for the
+    other channels). Exact pairs are a hub STAR per content-equality class —
+    not pair-local — so any consumer that caches pair sets incrementally
+    (plans/incremental.py) must attribute each exact pair to its bucket;
+    minhash/simhash rows are pair-local below the ultra-hot cap (exhaustive
+    tiers emit every in-bucket pair) and need no attribution.
 
     If `docs` already carries `simhash`/`bands` columns (the checkpointed
     path precomputes them per input partition so a resume never re-signs
@@ -167,12 +184,21 @@ def candidate_and_verified_pairs(
     generators read the precomputed features; rows with null simhash are
     docs that produced no tokens (the same set the UDF path filters with
     size(_tok) > 0)."""
+    from dedup_spark.operators.exact import exact_dup_members
+
+    null_ghash = F.lit(None).cast("long").alias("ghash")
     all_pairs = []
 
     if "exact" in channels:
+        m = exact_dup_members(docs, id_col="id", text_col="text", config=config)
         all_pairs.append(
-            exact_dup_pairs(docs, id_col="id", text_col="text", config=config)
-            .withColumn("jaccard", F.lit(1.0))
+            m.filter(F.col("id") != F.col("exact_cluster_id")).select(
+                F.least("exact_cluster_id", "id").alias("id_a"),
+                F.greatest("exact_cluster_id", "id").alias("id_b"),
+                F.lit("exact").alias("channel"),
+                F.lit(1.0).alias("jaccard"),
+                F.col("text_hash").alias("ghash"),
+            )
         )
 
     need_shingles = bool({"minhash", "simhash"} & set(channels))
@@ -231,50 +257,12 @@ def candidate_and_verified_pairs(
         # vs folded 108.9/96.4 s, two interleaved campaigns) — the per-
         # channel distinct's early collapse beats the saved shuffle. Don't
         # retry without fresh evidence.
-        cand = near_cands[0]
-        for c in near_cands[1:]:
-            cand = cand.unionByName(c)
-        if len(near_cands) > 1:
-            # primitive min over an int priority, decoded after: a string-
-            # buffered min_by(channel, _p) cannot use HashAggregate's mutable
-            # fixed-width buffer and plans a SortAggregate
-            prio = F.when(F.col("channel") == "minhash", 1).otherwise(2)
-            cand = (
-                cand.select("id_a", "id_b", prio.alias("_p"))
-                .groupBy("id_a", "id_b")
-                .agg(F.min("_p").alias("_p"))
-                .select(
-                    "id_a",
-                    "id_b",
-                    F.when(F.col("_p") == 1, "minhash")
-                    .otherwise("simhash")
-                    .alias("channel"),
-                )
-            )
-        # lazy verification shingles: compute the k-window hash sets for
-        # ONLY the docs that appear in a candidate pair (the same window
-        # polynomial as the signature UDF — bit-identical arrays), instead
-        # of shipping and spilling shingle arrays for the whole corpus.
-        # cand is spilled because it feeds both the id list and the verify
-        # join (recomputing it would re-run the pair generators).
-        cand = spill(cand, config, "cand")
-        cand_ids = (
-            cand.select(F.col("id_a").alias("id"))
-            .unionByName(cand.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
-        ver_shingles = (
-            docs.join(cand_ids, "id", "left_semi")
-            .select(
-                "id",
-                shingle_hashes_udf(config)(token_hashes("text")).alias(
-                    "shingle_hashes"
-                ),
+        cand = merge_near_candidates(near_cands)
+        all_pairs.append(
+            verify_near_candidates(docs, cand, config).withColumn(
+                "ghash", null_ghash
             )
         )
-        # read twice by the verify join (a and b sides)
-        ver_shingles = spill(ver_shingles, config, "ver_sh")
-        all_pairs.append(verify_pairs_jaccard(cand, ver_shingles, config))
 
     if "suffix" in channels:
         from dedup_spark.operators.lsh import PAIR_CAP_ALL
@@ -282,17 +270,80 @@ def candidate_and_verified_pairs(
 
         # star topology on hot fingerprint buckets: CC only needs connectivity
         sp = suffix_repeat_pairs(docs, config, pair_cap_all=PAIR_CAP_ALL).select(
-            "id_a", "id_b", "channel", F.lit(None).cast("double").alias("jaccard")
+            "id_a", "id_b", "channel",
+            F.lit(None).cast("double").alias("jaccard"), null_ghash,
         )
         all_pairs.append(sp)
 
     pairs = all_pairs[0]
     for p in all_pairs[1:]:
         pairs = pairs.unionByName(p)
-    # dedupe across channels, keep highest-priority provenance. Priority is
-    # an int min + decode, NOT min_by(channel, prio): a string-buffered
-    # min_by can't use the mutable fixed-width HashAggregate buffer, so
-    # Catalyst plans a SortAggregate — a full sort of the pair stream.
+    return pairs
+
+
+def merge_near_candidates(near_cands: list[DataFrame]) -> DataFrame:
+    """Union the minhash/simhash candidate sets keeping highest-priority
+    provenance (minhash > simhash), so the expensive verify join runs ONCE
+    over the union instead of once per channel. Priority rides a primitive
+    int min decoded after: a string-buffered min_by(channel, _p) cannot use
+    HashAggregate's mutable fixed-width buffer and plans a SortAggregate."""
+    cand = near_cands[0]
+    for c in near_cands[1:]:
+        cand = cand.unionByName(c)
+    if len(near_cands) > 1:
+        prio = F.when(F.col("channel") == "minhash", 1).otherwise(2)
+        cand = (
+            cand.select("id_a", "id_b", prio.alias("_p"))
+            .groupBy("id_a", "id_b")
+            .agg(F.min("_p").alias("_p"))
+            .select(
+                "id_a",
+                "id_b",
+                F.when(F.col("_p") == 1, "minhash")
+                .otherwise("simhash")
+                .alias("channel"),
+            )
+        )
+    return cand
+
+
+def verify_near_candidates(
+    docs: DataFrame, cand: DataFrame, config: DedupConfig
+) -> DataFrame:
+    """Lazy-shingle Jaccard verification of near-dup candidate pairs.
+
+    Computes the k-window hash sets for ONLY the docs that appear in a
+    candidate pair (the same window polynomial as the signature UDF —
+    bit-identical arrays), instead of shipping and spilling shingle arrays
+    for the whole corpus. `cand` is spilled because it feeds both the id
+    list and the verify join (recomputing it would re-run the pair
+    generators)."""
+    cand = spill(cand, config, "cand")
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    ver_shingles = (
+        docs.join(cand_ids, "id", "left_semi")
+        .select(
+            "id",
+            shingle_hashes_udf(config)(token_hashes("text")).alias(
+                "shingle_hashes"
+            ),
+        )
+    )
+    # read twice by the verify join (a and b sides)
+    ver_shingles = spill(ver_shingles, config, "ver_sh")
+    return verify_pairs_jaccard(cand, ver_shingles, config)
+
+
+def merge_channel_pairs(pairs: DataFrame) -> DataFrame:
+    """Cross-channel dedup keeping highest-priority provenance
+    (exact > minhash > simhash > suffix). Priority is an int min + decode,
+    NOT min_by(channel, prio): a string-buffered min_by can't use the
+    mutable fixed-width HashAggregate buffer, so Catalyst plans a
+    SortAggregate — a full sort of the pair stream."""
     prio = (
         F.when(F.col("channel") == "exact", 0)
         .when(F.col("channel") == "minhash", 1)
@@ -317,6 +368,15 @@ def candidate_and_verified_pairs(
             "jaccard",
         )
     )
+
+
+def candidate_and_verified_pairs(
+    docs: DataFrame, config: DedupConfig, channels: tuple[str, ...]
+) -> DataFrame:
+    """docs(id, text) -> verified pairs (id_a, id_b, channel, jaccard) from
+    all enabled channels, deduped with channel priority exact > minhash >
+    simhash (see channel_pair_sets for the per-channel semantics)."""
+    return merge_channel_pairs(channel_pair_sets(docs, config, channels))
 
 
 def run_dedup(

@@ -1415,7 +1415,7 @@ ORACLE = {
     "pipeline_end_to_end": _pipeline_oracle_sql(),
     "n9_checkpoint_resume": _pipeline_oracle_sql(
         """,
-               (SELECT count(DISTINCT source) FROM documents) + 1 AS n_stages_replayed,
+               (SELECT count(DISTINCT source) FROM documents) + 2 AS n_stages_replayed,
                0::BIGINT AS n_stages_computed"""
     ),
     "emb_cosine_topk": """
