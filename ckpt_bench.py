@@ -62,6 +62,14 @@ if phase == "touch1":
         "text",
         F.when(F.col("source") == "src0",
                F.concat(F.col("text"), F.lit(" edited"))).otherwise(F.col("text")))
+elif phase == "touch4":
+    # relative to the touch1 root state this changes FOUR partitions (src0
+    # gets a different edit, src1-3 a first edit): the incremental-vs-delta
+    # scaling point
+    pages = pages.withColumn(
+        "text",
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"),
+               F.concat(F.col("text"), F.lit(" edited4"))).otherwise(F.col("text")))
 # untimed Python-worker/codegen warmup (scale_bench protocol)
 from dedup_spark.plans.pipeline import run_dedup
 run_dedup(pages.limit(1000), config).members.count()
@@ -107,7 +115,7 @@ def main() -> None:
 
     pin = ["taskset", "-c", f"0-{args.cores - 1}"]
     results = {}
-    for phase in ("cold", "warm", "touch1"):
+    for phase in ("cold", "warm", "touch1", "touch4"):
         r = run_child(
             pin + [sys.executable, "-c", _PHASE, str(args.cores), corpus,
                    root, phase, shm],
@@ -125,6 +133,11 @@ def main() -> None:
         "touch1_pairs_mode": results["touch1"]["pairs_mode"],
         "touch1_over_cold": round(
             results["touch1"]["sec"] / results["cold"]["sec"], 3
+        ),
+        "touch4_s": results["touch4"]["sec"],
+        "touch4_pairs_mode": results["touch4"]["pairs_mode"],
+        "touch4_over_cold": round(
+            results["touch4"]["sec"] / results["cold"]["sec"], 3
         ),
     }
     os.makedirs("BENCH", exist_ok=True)
