@@ -31,6 +31,7 @@ import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import asdict, dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -258,6 +259,7 @@ def run_dedup_checkpointed(
     from dedup_spark.functions.text import normalize_text
     from dedup_spark.operators.scan import ingest_pages
     from dedup_spark.plans.incremental import (
+        canonical_pages,
         pairs_config_digest,
         signature_config_digest,
     )
@@ -330,6 +332,17 @@ def run_dedup_checkpointed(
 
     prepared = run.partitioned_stage("prepared", parts, _build, fps)
 
+    # cross-partition url canonicalization (S1: one row per url globally —
+    # per-partition ingest can only dedup within its own partition). LAZY
+    # memoized: building the view spills its tiny dup/resolved sides (an
+    # eager corpus scan), which a pure warm replay must never pay.
+    _canon: list[DataFrame] = []
+
+    def canon() -> DataFrame:
+        if not _canon:
+            _canon.append(canonical_pages(prepared, config))
+        return _canon[0]
+
     # pairs + members fingerprints share one prefix: the pairs-config digest
     # first (so incremental eligibility is a prefix check — see _pairs_stage),
     # then every partition's content fingerprint.
@@ -337,10 +350,10 @@ def run_dedup_checkpointed(
         f"v3|cfg={pairs_config_digest(config)}|"
         + "|".join(f"{p}:{fps[p]}" for p in parts)
     )
-    pairs = _pairs_stage(run, prepared, combined_fp, config)
+    pairs = _pairs_stage(run, canon, combined_fp, config)
     members = run.stage(
         "members",
-        lambda: _members_from_pairs(prepared, pairs, config),
+        lambda: _members_from_pairs(canon(), pairs, config),
         combined_fp,
     )
     return members
@@ -370,7 +383,7 @@ def _pairs_paths(root: str, fp: str) -> tuple[str, str, str]:
 
 def _pairs_stage(
     run: CheckpointedRun,
-    prepared: DataFrame,
+    prepared_fn: Callable[[], DataFrame],
     combined_fp: str,
     config: DedupConfig,
 ) -> DataFrame:
@@ -401,6 +414,7 @@ def _pairs_stage(
         run.pairs_mode = "replay"
         return run.spark.read.parquet(path)
 
+    prepared = prepared_fn()
     t0 = time.perf_counter()
     # current-corpus sidecar contents; spilled because the incremental path
     # reads them multiple times (guard + diff + regen semi-joins) and the

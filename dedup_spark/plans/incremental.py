@@ -102,6 +102,44 @@ def pairs_config_digest(config: DedupConfig) -> str:
     )
 
 
+def canonical_pages(prepared: DataFrame, config: DedupConfig) -> DataFrame:
+    """Resolve urls duplicated ACROSS input partitions (S1: one row per url,
+    earliest warc_ts wins) without a corpus-wide window.
+
+    The per-partition prepared stage can only url-dedup within its own
+    partition; the same url crawled into two segments must still collapse
+    globally. Duplicated urls are rare, so the window shuffle runs ONLY over
+    them: one map-side-combining count finds the dup url set (tiny — AQE
+    broadcasts it into the semi/anti joins), unique rows pass through with
+    no shuffle at all. Every pairs-stage consumer (fingerprints, docsig,
+    full and incremental pair generation, members) reads this view, so the
+    per-doc change model sees canonical rows only.
+
+    The dup-detection agg keys on ``xxhash64(url)`` (8 B/row on the wire)
+    rather than the url string itself; a hash collision only routes an
+    innocent row through `ingest_pages`, which resolves by FULL url, so the
+    output is identical either way. Both tiny sides (`dups`, `resolved`) are
+    spilled: the returned view is consumed several times by the pairs stage
+    (fingerprints, docsig, pair generation, members), and without the spill
+    every read would re-run the corpus-wide agg and the dup-row window."""
+    from dedup_spark.operators.scan import ingest_pages
+    from dedup_spark.plans.pipeline import spill
+
+    uh = F.xxhash64("url")
+    dups = spill(
+        prepared.groupBy(uh.alias("_uh"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_uh"),
+        config,
+        "canon_dups",
+    )
+    dup_rows = prepared.join(dups, uh == dups["_uh"], "left_semi")
+    resolved = spill(ingest_pages(dup_rows, config), config, "canon_resolved")
+    uniq = prepared.join(dups, uh == dups["_uh"], "left_anti")
+    return uniq.unionByName(resolved.select(*uniq.columns))
+
+
 def doc_signatures(prepared: DataFrame) -> DataFrame:
     """(url, dhash) per ingested doc — the per-doc change detector."""
     return prepared.select("url", F.xxhash64("url", "text").alias("dhash"))

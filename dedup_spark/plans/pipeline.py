@@ -31,7 +31,6 @@ from dedup_spark.functions.signatures import (
 )
 from dedup_spark.functions.simhash import hamming_distance, simhash_blocks
 from dedup_spark.operators.components import connected_components
-from dedup_spark.operators.exact import exact_dup_pairs
 from dedup_spark.operators.ids import assign_dense_ids
 from dedup_spark.operators.lsh import lsh_candidate_pairs
 from dedup_spark.operators.representatives import select_representatives

@@ -201,6 +201,42 @@ def test_config_change_forces_full(spark, pages, config, root):
     assert run2.pairs_mode == "full"
 
 
+def test_cross_partition_url_dedup_matches_run_dedup(spark, config, root):
+    """S1 contract across partitions: the same url crawled into two source
+    partitions must collapse to ONE canonical row (earliest warc_ts) before
+    pair generation — per-partition ingest alone can't see the twin. The
+    canonical copy's text (A) matches doc `same`; the stale copy's text (B)
+    matches doc `other` — if the stale row leaked, `other` would wrongly
+    join a cluster."""
+    from dedup_spark.plans.pipeline import run_dedup
+
+    ts1 = datetime.datetime(2024, 1, 1)
+    ts2 = datetime.datetime(2024, 2, 1)
+    text_a = "canonical body of the duplicated url, crawled first " * 5
+    text_b = "later recrawl body that must be discarded entirely " * 5
+    rows = [
+        ("https://x/dup", ts1, text_a, "en", "src0"),
+        ("https://x/dup", ts2, text_b, "en", "src1"),
+        ("https://x/same", ts1, text_a, "en", "src1"),
+        ("https://x/other", ts1, text_b, "en", "src0"),
+    ] + [
+        (f"https://x/u{i}", ts1, f"wholly unrelated unique page {i} " * 8,
+         "en", f"src{i % 2}")
+        for i in range(6)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string, source string"
+    )
+    ckpt = _members_set(run_dedup_checkpointed(pages, config, root))
+    direct = _members_set(run_dedup(pages, config).members)
+    assert ckpt == direct
+    # exactly one cluster: {dup (canonical text A), same}; `other` untouched
+    assert ("https://x/dup", "https://x/dup", True) in ckpt
+    assert ("https://x/same", "https://x/dup", False) in ckpt
+    assert len([r for r in ckpt if r[0] == "https://x/dup"]) == 1
+    assert not any(r[0] == "https://x/other" for r in ckpt)
+
+
 def test_unchanged_resume_replays_pairs(spark, pages, config, root):
     run_dedup_checkpointed(pages, config, root)
     run2 = CheckpointedRun(spark, root, config)
