@@ -335,12 +335,17 @@ def run_dedup_checkpointed(
     # cross-partition url canonicalization (S1: one row per url globally —
     # per-partition ingest can only dedup within its own partition). LAZY
     # memoized: building the view spills its tiny dup/resolved sides (an
-    # eager corpus scan), which a pure warm replay must never pay.
+    # eager corpus scan), which a pure warm replay must never pay. With a
+    # single input partition the per-partition ingest already saw the whole
+    # corpus, so the dup-detection agg would scan it for nothing.
     _canon: list[DataFrame] = []
 
     def canon() -> DataFrame:
         if not _canon:
-            _canon.append(canonical_pages(prepared, config))
+            _canon.append(
+                prepared if len(parts) <= 1
+                else canonical_pages(prepared, config)
+            )
         return _canon[0]
 
     # pairs + members fingerprints share one prefix: the pairs-config digest
