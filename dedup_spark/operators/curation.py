@@ -26,6 +26,10 @@ Scale notes (100 TB):
   totals, a broadcast of the tiny rate table back, a stateless filter —
   the corpus is scanned once and never shuffled.
 - chunk_documents: pure Generate fan-out, zero exchanges.
+- dedup_segments: Generate fan-out, one window keyed (xxhash64(seg), seg)
+  for the global first-occurrence decision, one groupBy(doc) to stitch
+  survivors — exactly two shuffles of the segment stream, no cliff when
+  the duplicate-segment rate grows.
 """
 
 from __future__ import annotations
@@ -317,6 +321,90 @@ def chunk_documents(
             F.least(F.lit(chunk_size), F.col("_n") - start)
             .cast("long")
             .alias("chunk_n_tokens"),
+        )
+    )
+
+
+def dedup_segments(
+    docs: DataFrame,
+    window: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level exact segment dedup — the CCNet/RefinedWeb-style
+    boilerplate-removal pass, re-expressed over ALIGNED fixed-width token
+    windows (this corpus model carries flat token streams, not newline-
+    delimited paragraphs; aligned windows survive the point edits that
+    produce near-dup pages, so shared boilerplate still collides exactly).
+
+    Semantics: every `window`-token aligned segment that appears verbatim
+    anywhere else in the corpus survives only at its FIRST occurrence
+    (min (doc_id, seg_idx)); later occurrences are dropped and each doc's
+    surviving segments are stitched back in order. Output one row per
+    non-empty doc: (id, text_clean, n_segs, n_dropped); a doc whose every
+    segment was seen earlier comes back with text_clean = ''. Empty docs
+    yield no row (chunk_documents' convention).
+
+    Plan (100 TB shape): zero-exchange Generate fan-out into segments (the
+    chunk_documents shape), ONE window over (xxhash64(seg), seg) ordered by
+    (doc_id, seg_idx) — the 8-byte hash is the cheap comparison prefix and
+    the segment string in the partition key makes hash collisions harmless
+    (equal key requires equal text; the exact channel's pattern) — then ONE
+    groupBy(id) stitches survivors back. Two shuffles of the segment
+    stream, both semantically forced: the drop decision is global by
+    segment, the output is per-doc. (A three-stage variant — decide drops
+    over a 16-byte projected stream, broadcast the (doc_id, seg_idx) drop
+    list into an anti-join against a recomputed fan-out — saves shipping
+    text through the first exchange but degrades to a THIRD full shuffle
+    whenever the drop list outgrows the broadcast budget, which a 100 TB
+    crawl's boilerplate rate guarantees; the two-shuffle plan has no such
+    cliff.) First-occurrence attribution orders by (doc_id, seg_idx), so
+    the result is deterministic under any input partitioning.
+    """
+    if window <= 0:
+        raise ValueError("window must be positive")
+    w = tokens(text_col)
+    n = F.size(w)
+    n_segs = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor((n - 1) / F.lit(window)) + 1
+    )
+    # sequence(0, -1) would DESCEND in Spark: gate the empty case to an
+    # empty array (posexplode of [] emits no rows — empty docs vanish)
+    idxs = F.when(n_segs <= 0, F.array().cast("array<long>")).otherwise(
+        F.sequence(F.lit(0).cast("long"), (n_segs - 1).cast("long"))
+    )
+    segs = docs.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.posexplode(idxs).alias("seg_idx", "_x"),
+    ).select(
+        id_col,
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.concat_ws(
+            " ", F.slice("_w", F.col("seg_idx") * window + 1, F.lit(window))
+        ).alias("seg"),
+    )
+    wspec = Window.partitionBy(F.xxhash64("seg"), "seg").orderBy(
+        id_col, "seg_idx"
+    )
+    ranked = segs.withColumn("_rn", F.row_number().over(wspec))
+    # struct field order (seg_idx, seg): sort_array orders by seg_idx, and
+    # .getField("seg") is JVM ExtractValue — no interpreted lambda per doc
+    kept = F.when(F.col("_rn") == 1, F.struct("seg_idx", "seg"))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(kept)).alias("_ks"),
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.count(F.when(F.col("_rn") > 1, F.lit(1)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("_ks").getField("seg")).alias("text_clean"),
+            "n_segs",
+            "n_dropped",
         )
     )
 

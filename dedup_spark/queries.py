@@ -730,6 +730,17 @@ def c7_keywords(spark, sf_dir):
     return keyword_extract(_docs(spark, sf_dir), top_k=3)
 
 
+# C8: corpus-level exact segment dedup (CCNet/RefinedWeb boilerplate removal
+# over aligned 20-token windows) — a segment seen earlier in (doc_id,
+# seg_idx) order is dropped everywhere else and docs are stitched back.
+# Near-dup docs share aligned windows at every driver SF (59 duplicate
+# segments across 32 docs at sf0.01), so the query is non-empty everywhere.
+def c8_segment_dedup(spark, sf_dir):
+    from dedup_spark.operators.curation import dedup_segments
+
+    return dedup_segments(_docs(spark, sf_dir), window=20)
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
@@ -1032,6 +1043,7 @@ QUERIES = {
     "c5_stratified_sample": c5_stratified_sample,
     "c6_chunk_documents": c6_chunk_documents,
     "c7_keywords": c7_keywords,
+    "c8_segment_dedup": c8_segment_dedup,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -1614,6 +1626,40 @@ ORACLE = {
                array_to_string(w[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk_text,
                least(64, n - chunk_idx*48)::BIGINT AS chunk_n_tokens
         FROM fan
+    """,
+    # segment partition key is the segment STRING itself (Spark partitions
+    # the window by (xxhash64(seg), seg) — identical grouping, the hash is
+    # only a comparison prefix); first occurrence = min (doc_id, seg_idx)
+    "c8_segment_dedup": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 (case when {_NORM} = '' then [] else {_WORDS} end) AS w
+          FROM documents
+        ), s AS (
+          SELECT doc_id, w,
+                 CASE WHEN len(w) <= 0 THEN 0
+                      ELSE (len(w) - 1) // 20 + 1 END AS n_segs
+          FROM t
+        ), fan AS (
+          SELECT doc_id, w, unnest(range(0, n_segs)) AS seg_idx FROM s
+        ), segs AS (
+          SELECT doc_id, seg_idx,
+                 array_to_string(w[seg_idx*20 + 1 : seg_idx*20 + 20], ' ') AS seg
+          FROM fan
+        ), ranked AS (
+          SELECT doc_id, seg_idx, seg,
+                 row_number() OVER (
+                   PARTITION BY seg ORDER BY doc_id, seg_idx
+                 ) AS rn
+          FROM segs
+        )
+        SELECT doc_id,
+               coalesce(
+                 string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1),
+                 '') AS text_clean,
+               count(*)::BIGINT AS n_segs,
+               (count(*) FILTER (WHERE rn > 1))::BIGINT AS n_dropped
+        FROM ranked GROUP BY doc_id
     """,
     # scale-path twins: identical SQL as their brute-force counterparts — the
     # contract is that the LSH-bucketed plans return the SAME rows

@@ -216,3 +216,61 @@ def test_keyword_extract_integer_ranking(spark):
     assert got[(2, 1)] == ("bird", 2, 1)
     assert got[(2, 2)] == ("dog", 1, 2)
     assert (2, 3) not in got  # doc 2 has only 2 distinct tokens
+
+
+def test_dedup_segments_first_occurrence_wins(spark):
+    from dedup_spark.operators.curation import dedup_segments
+
+    # window=4: doc 1 = [A|B], doc 2 = [X|A] (A repeats, aligned), doc 3 = [A]
+    a, b, x = "a1 a2 a3 a4", "b1 b2 b3 b4", "x1 x2 x3 x4"
+    df = _docs(spark, [(1, f"{a} {b}"), (2, f"{x} {a}"), (3, a)])
+    got = {
+        r["doc_id"]: r.asDict() for r in dedup_segments(df, window=4).collect()
+    }
+    assert got[1] == {
+        "doc_id": 1, "text_clean": f"{a} {b}", "n_segs": 2, "n_dropped": 0
+    }
+    assert got[2] == {
+        "doc_id": 2, "text_clean": x, "n_segs": 2, "n_dropped": 1
+    }
+    # every segment dropped -> the doc survives with empty text
+    assert got[3] == {
+        "doc_id": 3, "text_clean": "", "n_segs": 1, "n_dropped": 1
+    }
+
+
+def test_dedup_segments_partial_tail_and_empty(spark):
+    from dedup_spark.operators.curation import dedup_segments
+
+    # 6 tokens at window=4 -> segments [t1..t4], [t5 t6]; the 2-token tail is
+    # a real segment and dedups only on exact match; empty docs emit no row
+    df = _docs(
+        spark,
+        [(1, "t1 t2 t3 t4 t5 t6"), (2, "t5 t6"), (3, "t5 t6 t7"), (4, "  ")],
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in dedup_segments(df, window=4).collect()
+    }
+    assert got[1]["n_segs"] == 2 and got[1]["n_dropped"] == 0
+    assert got[2] == {
+        "doc_id": 2, "text_clean": "", "n_segs": 1, "n_dropped": 1
+    }
+    assert got[3] == {
+        "doc_id": 3, "text_clean": "t5 t6 t7", "n_segs": 1, "n_dropped": 0
+    }
+    assert 4 not in got
+
+
+def test_dedup_segments_partitioning_invariant(spark):
+    from dedup_spark.operators.curation import dedup_segments
+
+    rows = [(i, f"w{i % 7} common block here pad{i}") for i in range(40)]
+    df = _docs(spark, rows)
+    base = sorted(
+        tuple(r) for r in dedup_segments(df, window=3).collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in dedup_segments(df.repartition(13), window=3).collect()
+    )
+    assert base == shuffled

@@ -258,3 +258,21 @@ def test_no_sort_aggregate_in_any_contract_query(spark):
         if n:
             offenders[name] = n
     assert not offenders, offenders
+
+
+def test_segment_dedup_two_exchanges_no_python(spark):
+    """dedup_segments (c8) is exactly two shuffles of the segment stream —
+    the (hash, seg) window decides global first occurrence, the groupBy(doc)
+    stitches survivors — with zero Python in the plan and the scan pruned to
+    (doc_id, text)."""
+    from dedup_spark.operators.curation import dedup_segments
+
+    df = dedup_segments(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"), window=20
+    )
+    plan = plan_of(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    assert "EvalPython" not in plan, plan
+    assert "SortAggregate" not in plan, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "n_chars" not in read_schema and "lang" not in read_schema
