@@ -30,6 +30,8 @@ Scale notes (100 TB):
   for the global first-occurrence decision, one groupBy(doc) to stitch
   survivors — exactly two shuffles of the segment stream, no cliff when
   the duplicate-segment rate grows.
+- redact_pii: pure per-row JVM regexp chain, ZERO exchanges — the scrub
+  pass rides whatever scan partitioning the corpus already has.
 """
 
 from __future__ import annotations
@@ -406,6 +408,53 @@ def dedup_segments(
             "n_segs",
             "n_dropped",
         )
+    )
+
+
+# PII patterns shared VERBATIM with the DuckDB oracle (queries.py
+# interpolates these constants into the c9 SQL): restricted to the regex
+# subset where Java (Spark) and RE2 (DuckDB) agree — char classes, bounded
+# repetition, \b, optional groups; no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"(\+\d{1,3}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/RefinedWeb-style PII scrub: replace emails, IPv4 addresses and
+    phone numbers with typed placeholder tokens, reporting per-doc match
+    counts. Output: (id, text_redacted, n_emails, n_ips, n_phones).
+
+    Redaction is SEQUENTIAL (email -> ip -> phone) and each count is taken
+    on the text the corresponding replace actually sees, so the semantics
+    are order-deterministic and reproducible in any engine that applies the
+    same three passes (the DuckDB oracle mirrors the chain with
+    regexp_replace(..., 'g')). Spark's regexp_replace is global already.
+
+    Plan (100 TB shape): a pure projection — regexp_count/regexp_replace are
+    JVM codegen expressions, zero exchanges, zero Python; the scrub streams
+    through the scan at parquet-read speed and the scan is pruned to
+    (id, text). Pattern dialect is the Java∩RE2 subset (see constants)."""
+    after_email = F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_replace(after_ip, PII_PHONE, "<PHONE>").alias(
+            "text_redacted"
+        ),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL))
+        .cast("long")
+        .alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_IPV4))
+        .cast("long")
+        .alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE))
+        .cast("long")
+        .alias("n_phones"),
     )
 
 

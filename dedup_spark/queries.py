@@ -24,6 +24,7 @@ from dedup_spark.functions.text import (
     token_count,
 )
 from dedup_spark.operators.components import connected_components
+from dedup_spark.operators.curation import PII_EMAIL, PII_IPV4, PII_PHONE
 from dedup_spark.operators.lsh import lsh_candidate_pairs
 
 CFG = DedupConfig()
@@ -741,6 +742,30 @@ def c8_segment_dedup(spark, sf_dir):
     return dedup_segments(_docs(spark, sf_dir), window=20)
 
 
+# C9: PII redaction (C4/RefinedWeb scrub pass). The synthetic corpus carries
+# no real PII, so the query plants deterministic emails/IPs/phones on the
+# doc_id % 7 == 0 subset (same injection expression in the oracle) and the
+# operator scrubs them — non-empty, value-checked redaction at every SF.
+def c9_pii_redact(spark, sf_dir):
+    from dedup_spark.operators.curation import redact_pii
+
+    k = (F.col("doc_id") % 1000).cast("string")
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"), k, F.lit("@example.org or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".42 or +1 555-01"),
+                (F.col("doc_id") % 10).cast("string"), F.lit("-2233"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(injected)
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
@@ -1044,6 +1069,7 @@ QUERIES = {
     "c6_chunk_documents": c6_chunk_documents,
     "c7_keywords": c7_keywords,
     "c8_segment_dedup": c8_segment_dedup,
+    "c9_pii_redact": c9_pii_redact,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -1660,6 +1686,41 @@ ORACLE = {
                count(*)::BIGINT AS n_segs,
                (count(*) FILTER (WHERE rn > 1))::BIGINT AS n_dropped
         FROM ranked GROUP BY doc_id
+    """,
+    # patterns interpolated VERBATIM from operators/curation.py constants
+    # (Java∩RE2 dialect); counts are taken on the text each sequential
+    # replace sees, mirroring the Spark chain exactly
+    "c9_pii_redact": f"""
+        WITH injected AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN
+                   text || ' reach user' || (doc_id % 1000)::VARCHAR
+                        || '@example.org or 10.0.'
+                        || (doc_id % 256)::VARCHAR
+                        || '.42 or +1 555-01' || (doc_id % 10)::VARCHAR
+                        || '-2233'
+                 ELSE text END AS text
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, text,
+                 regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g')
+                   AS after_email
+          FROM injected
+        ), s2 AS (
+          SELECT *, regexp_replace(after_email, '{PII_IPV4}', '<IP>', 'g')
+                      AS after_ip
+          FROM s1
+        )
+        SELECT doc_id,
+               regexp_replace(after_ip, '{PII_PHONE}', '<PHONE>', 'g')
+                 AS text_redacted,
+               len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT
+                 AS n_emails,
+               len(regexp_extract_all(after_email, '{PII_IPV4}'))::BIGINT
+                 AS n_ips,
+               len(regexp_extract_all(after_ip, '{PII_PHONE}'))::BIGINT
+                 AS n_phones
+        FROM s2
     """,
     # scale-path twins: identical SQL as their brute-force counterparts — the
     # contract is that the LSH-bucketed plans return the SAME rows

@@ -274,3 +274,31 @@ def test_dedup_segments_partitioning_invariant(spark):
         for r in dedup_segments(df.repartition(13), window=3).collect()
     )
     assert base == shuffled
+
+
+def test_redact_pii_sequential_counts(spark):
+    from dedup_spark.operators.curation import redact_pii
+
+    rows = [
+        # one of each PII type
+        (1, "mail a.b+c@ex-site.co.uk ip 192.168.0.1 tel (555) 123-4567 end"),
+        # phone-like digits inside an email local part must NOT double-count:
+        # the email pass rewrites it first, sequential semantics pin this
+        (2, "contact 555-123-4567@spam.org now"),
+        # clean doc passes through untouched
+        (3, "no identifiers here at all"),
+        # two emails, ip glued to text without word chars still matches \b
+        (4, "x@y.io,z@w.dev (10.0.0.42)"),
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in redact_pii(_docs(spark, rows)).collect()
+    }
+    assert got[1]["text_redacted"] == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 1, 1)
+    assert got[2]["text_redacted"] == "contact <EMAIL> now"
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (1, 0, 0)
+    assert got[3]["text_redacted"] == rows[2][1]
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
+    assert got[4]["text_redacted"] == "<EMAIL>,<EMAIL> (<IP>)"
+    assert got[4]["n_emails"] == 2 and got[4]["n_ips"] == 1

@@ -276,3 +276,14 @@ def test_segment_dedup_two_exchanges_no_python(spark):
     assert "SortAggregate" not in plan, plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "n_chars" not in read_schema and "lang" not in read_schema
+
+
+def test_redact_pii_zero_exchange_projection(spark):
+    """PII scrub is a pure JVM regexp projection: no Exchange, no Python
+    eval — it streams through the scan at parquet-read speed."""
+    from dedup_spark.operators.curation import redact_pii
+    from dedup_spark.queries import _docs
+
+    plan = plan_of(redact_pii(_docs(spark, SF_DIR)))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
