@@ -82,6 +82,8 @@ def main() -> None:
         "m1_media_decode",
         "c1_quality_filter",
         "c2_delta_dedup",
+        "c8_segment_dedup",
+        "c9_pii_redact",
     ]
 
     timings: dict[str, float] = {}
