@@ -84,6 +84,7 @@ def main() -> None:
         "c2_delta_dedup",
         "c8_segment_dedup",
         "c9_pii_redact",
+        "c10_repetition_signals",
     ]
 
     timings: dict[str, float] = {}

@@ -766,6 +766,15 @@ def c9_pii_redact(spark, sf_dir):
     return redact_pii(injected)
 
 
+# C10: Gopher-style within-doc repetition signals (duplicate / top n-gram
+# fractions for n=2,3) — the standard web-text repetition gate alongside
+# c1's 1-gram top_token_frac.
+def c10_repetition_signals(spark, sf_dir):
+    from dedup_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
@@ -1070,6 +1079,7 @@ QUERIES = {
     "c7_keywords": c7_keywords,
     "c8_segment_dedup": c8_segment_dedup,
     "c9_pii_redact": c9_pii_redact,
+    "c10_repetition_signals": c10_repetition_signals,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -1721,6 +1731,60 @@ ORACLE = {
                len(regexp_extract_all(after_ip, '{PII_PHONE}'))::BIGINT
                  AS n_phones
         FROM s2
+    """,
+    # occurrence-weighted duplicate/top n-gram fractions; the window-lead
+    # n-gram build in Spark and the list_transform slice build here produce
+    # the identical n-gram multisets by construction
+    "c10_repetition_signals": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 case when {_NORM} = '' then [] else {_WORDS} end AS w
+          FROM documents
+        ), g2 AS (
+          SELECT doc_id, 2 AS n,
+                 unnest(case when len(w) < 2 then []
+                   else list_transform(range(1, len(w)),
+                        i -> array_to_string(w[i:i+1], ' ')) end) AS gram
+          FROM t
+        ), g3 AS (
+          SELECT doc_id, 3 AS n,
+                 unnest(case when len(w) < 3 then []
+                   else list_transform(range(1, len(w) - 1),
+                        i -> array_to_string(w[i:i+2], ' ')) end) AS gram
+          FROM t
+        ), long AS (
+          SELECT * FROM g2 UNION ALL SELECT * FROM g3
+        ), per AS (
+          SELECT doc_id, n, gram, count(*) AS cnt
+          FROM long GROUP BY doc_id, n, gram
+        ), pn AS (
+          SELECT doc_id, n,
+                 sum(cnt)::BIGINT AS tot,
+                 max(cnt)::BIGINT AS top,
+                 sum(cnt - 1)::BIGINT AS dup
+          FROM per GROUP BY doc_id, n
+        ), agg AS (
+          SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN tot END) AS tot2,
+                 max(CASE WHEN n = 2 THEN top END) AS top2,
+                 max(CASE WHEN n = 2 THEN dup END) AS dup2,
+                 max(CASE WHEN n = 3 THEN tot END) AS tot3,
+                 max(CASE WHEN n = 3 THEN top END) AS top3,
+                 max(CASE WHEN n = 3 THEN dup END) AS dup3
+          FROM pn GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.tot2, 0)::BIGINT AS n_2grams,
+               coalesce(round(a.dup2::DOUBLE / a.tot2, 4), 0.0)
+                 AS dup_2gram_frac,
+               coalesce(round(a.top2::DOUBLE / a.tot2, 4), 0.0)
+                 AS top_2gram_frac,
+               coalesce(a.tot3, 0)::BIGINT AS n_3grams,
+               coalesce(round(a.dup3::DOUBLE / a.tot3, 4), 0.0)
+                 AS dup_3gram_frac,
+               coalesce(round(a.top3::DOUBLE / a.tot3, 4), 0.0)
+                 AS top_3gram_frac
+        FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
     # scale-path twins: identical SQL as their brute-force counterparts — the
     # contract is that the LSH-bucketed plans return the SAME rows

@@ -302,3 +302,32 @@ def test_redact_pii_sequential_counts(spark):
     assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
     assert got[4]["text_redacted"] == "<EMAIL>,<EMAIL> (<IP>)"
     assert got[4]["n_emails"] == 2 and got[4]["n_ips"] == 1
+
+
+def test_repetition_signals_hand_values(spark):
+    from dedup_spark.operators.curation import repetition_signals
+
+    rows = [
+        (1, "a b a b a"),   # 2g: ab,ba,ab,ba; 3g: aba,bab,aba
+        (2, "x y"),          # one 2-gram, no 3-grams
+        (3, ""),             # empty -> all zero
+        (4, "solo"),         # single token -> all zero
+    ]
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals(_docs(spark, rows)).collect()
+    }
+    assert got[1] == {
+        "doc_id": 1,
+        "n_2grams": 4, "dup_2gram_frac": 0.5, "top_2gram_frac": 0.5,
+        "n_3grams": 3, "dup_3gram_frac": 0.3333, "top_3gram_frac": 0.6667,
+    }
+    assert got[2] == {
+        "doc_id": 2,
+        "n_2grams": 1, "dup_2gram_frac": 0.0, "top_2gram_frac": 1.0,
+        "n_3grams": 0, "dup_3gram_frac": 0.0, "top_3gram_frac": 0.0,
+    }
+    for d in (3, 4):
+        assert got[d]["n_2grams"] == 0 and got[d]["n_3grams"] == 0
+        assert got[d]["dup_2gram_frac"] == 0.0
+        assert got[d]["top_3gram_frac"] == 0.0

@@ -287,3 +287,16 @@ def test_redact_pii_zero_exchange_projection(spark):
     plan = plan_of(redact_pii(_docs(spark, SF_DIR)))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_repetition_signals_single_token_shuffle(spark):
+    """The n-gram stream crosses the wire ONCE: the per-doc window's hash
+    partitioning clusters every downstream groupBy (subset-key
+    distribution), so all three aggregations chain as HashAggregates with
+    no further Exchange; the join-back broadcasts the per-doc aggregate."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["c10_repetition_signals"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "SortAggregate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
