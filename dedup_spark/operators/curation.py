@@ -458,6 +458,59 @@ def redact_pii(
     )
 
 
+def split_thresholds(val_pct: int = 10, test_pct: int = 10) -> tuple[int, int]:
+    """Integer 64k-residue thresholds for (test, test+val) — computed with
+    integer division so Spark and any oracle engine derive the exact same
+    cut points (never float rates; the c5 precedent)."""
+    t_test = 65536 * test_pct // 100
+    return t_test, t_test + 65536 * val_pct // 100
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    members: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Cluster-coherent train/val/test assignment: the split is a
+    deterministic integer hash of the doc's DEDUP CLUSTER label (its own id
+    when unclustered), so every member of a near-dup cluster lands in the
+    same split — the standard guard against eval leakage through
+    near-duplicates that a per-doc split cannot give. Output:
+    (id, cluster_id, split) for every input doc.
+
+    `members` is the (id, label) output of the dedup pipeline (docs absent
+    from it are singletons). The hash is the c5 residue scheme:
+    ((label % 65536) * 48271) % 65536 against integer-derived thresholds,
+    reproducible verbatim in any engine.
+
+    Plan (100 TB shape): ONE equi-join of the corpus with the members table
+    on the 8-byte id (members carries only duplicate docs, typically a
+    small fraction — AQE broadcasts it when it fits), then a stateless
+    integer projection. No aggregation, no window, no Python.
+    """
+    t_test, t_val = split_thresholds(val_pct, test_pct)
+    m = members.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
+    )
+    lbl = F.coalesce(F.col("_lbl"), F.col(id_col)).cast("long")
+    r = ((lbl % 65536) * 48271) % 65536
+    return (
+        docs.select(id_col)
+        .join(m, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            F.col(id_col),
+            lbl.alias(label_col),
+            F.when(r < t_test, F.lit("test"))
+            .when(r < t_val, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
 def repetition_signals(
     docs: DataFrame,
     id_col: str = "doc_id",

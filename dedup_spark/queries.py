@@ -24,7 +24,12 @@ from dedup_spark.functions.text import (
     token_count,
 )
 from dedup_spark.operators.components import connected_components
-from dedup_spark.operators.curation import PII_EMAIL, PII_IPV4, PII_PHONE
+from dedup_spark.operators.curation import (
+    PII_EMAIL,
+    PII_IPV4,
+    PII_PHONE,
+    split_thresholds,
+)
 from dedup_spark.operators.lsh import lsh_candidate_pairs
 
 CFG = DedupConfig()
@@ -775,6 +780,20 @@ def c10_repetition_signals(spark, sf_dir):
     return repetition_signals(_docs(spark, sf_dir))
 
 
+# C11: leakage-safe train/val/test split — the split key is the DEDUP
+# CLUSTER label, so near-duplicate docs can never straddle train and eval.
+# Runs the full pipeline for labels, then the stateless residue assignment.
+def c11_leakage_safe_split(spark, sf_dir):
+    from dedup_spark.operators.curation import leakage_safe_split
+    from dedup_spark.plans.pipeline import run_dedup
+
+    members = run_dedup(documents_as_pages(spark, sf_dir), CFG).members.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    return leakage_safe_split(_docs(spark, sf_dir), members)
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
@@ -1080,6 +1099,7 @@ QUERIES = {
     "c8_segment_dedup": c8_segment_dedup,
     "c9_pii_redact": c9_pii_redact,
     "c10_repetition_signals": c10_repetition_signals,
+    "c11_leakage_safe_split": c11_leakage_safe_split,
     "pipeline_end_to_end": pipeline_end_to_end,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
@@ -1134,12 +1154,25 @@ def _stop_hits(lang: str) -> str:
     return f"len(list_filter({_WORDS}, t -> list_contains({lst}, t)))"
 
 
-def _pipeline_oracle_sql(extra_select: str = "") -> str:
+def _pipeline_oracle_sql(
+    extra_select: str = "", final_select: str | None = None
+) -> str:
     """Full-pipeline clustering oracle: exact text-equality pairs UNION exact
     shingle-Jaccard >= 0.7 pairs (unrounded, same IEEE division as the Spark
     verify stage), recursive-CTE transitive closure, min-id labels, keep-
     policy representative flag. `extra_select` appends constant evidence
-    columns (n9 resume check)."""
+    columns (n9 resume check); `final_select` swaps the whole final SELECT
+    over the `labels` CTE (c11 split assignment)."""
+    if final_select is not None:
+        tail = final_select
+    else:
+        tail = rf"""SELECT l.doc_id, l.cluster_id,
+               row_number() OVER (
+                 PARTITION BY l.cluster_id
+                 ORDER BY coalesce(try_cast(regexp_extract(d.source, '(\d+)$', 1) AS INT), 0),
+                          l.doc_id
+               ) = 1 AS is_representative{extra_select}
+        FROM labels l JOIN documents d ON d.doc_id = l.doc_id"""
     return rf"""
         WITH RECURSIVE
         sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
@@ -1176,13 +1209,7 @@ def _pipeline_oracle_sql(extra_select: str = "") -> str:
         ),
         {_REACH_CTE},
         labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
-        SELECT l.doc_id, l.cluster_id,
-               row_number() OVER (
-                 PARTITION BY l.cluster_id
-                 ORDER BY coalesce(try_cast(regexp_extract(d.source, '(\d+)$', 1) AS INT), 0),
-                          l.doc_id
-               ) = 1 AS is_representative{extra_select}
-        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+        {tail}
     """
 
 
@@ -1461,6 +1488,19 @@ ORACLE = {
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
     """,
     "pipeline_end_to_end": _pipeline_oracle_sql(),
+    # same closure CTEs; the split residue scheme + thresholds come verbatim
+    # from operators/curation.split_thresholds (integer-only arithmetic)
+    "c11_leakage_safe_split": _pipeline_oracle_sql(
+        final_select=f"""
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+               CASE WHEN ((coalesce(l.cluster_id, d.doc_id) % 65536) * 48271)
+                         % 65536 < {split_thresholds()[0]} THEN 'test'
+                    WHEN ((coalesce(l.cluster_id, d.doc_id) % 65536) * 48271)
+                         % 65536 < {split_thresholds()[1]} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id"""
+    ),
     "n9_checkpoint_resume": _pipeline_oracle_sql(
         """,
                (SELECT count(DISTINCT source) FROM documents) + 2 AS n_stages_replayed,

@@ -331,3 +331,30 @@ def test_repetition_signals_hand_values(spark):
         assert got[d]["n_2grams"] == 0 and got[d]["n_3grams"] == 0
         assert got[d]["dup_2gram_frac"] == 0.0
         assert got[d]["top_3gram_frac"] == 0.0
+
+
+def test_leakage_safe_split_cluster_coherent(spark):
+    from dedup_spark.operators.curation import (
+        leakage_safe_split,
+        split_thresholds,
+    )
+
+    # 400 docs; members clusters pairs (2k, 2k+1) under label 2k for the
+    # first 200 — both halves of every cluster MUST share a split
+    docs = _docs(spark, [(i, f"text {i}") for i in range(400)])
+    members = spark.createDataFrame(
+        [(i, (i // 2) * 2) for i in range(200)],
+        "doc_id long, cluster_id long",
+    )
+    got = leakage_safe_split(docs, members).toPandas()
+    assert len(got) == 400
+    per_cluster = got.groupby("cluster_id")["split"].nunique()
+    assert int(per_cluster.max()) == 1
+    # unclustered docs label themselves
+    solo = got[got.doc_id >= 200]
+    assert (solo.cluster_id == solo.doc_id).all()
+    # the residue scheme actually produces all three splits at n=400
+    assert set(got["split"]) == {"train", "val", "test"}
+    # thresholds are integer-derived (the c5 never-float-rates rule)
+    assert split_thresholds() == (6553, 13106)
+    assert split_thresholds(val_pct=0, test_pct=0) == (0, 0)
