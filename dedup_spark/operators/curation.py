@@ -515,6 +515,7 @@ def repetition_signals(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fused: bool = True,
 ) -> DataFrame:
     """Gopher-style within-document repetition signals over word n-grams
     (n = 2, 3): per doc, the n-gram count, the fraction of n-gram
@@ -526,14 +527,73 @@ def repetition_signals(
     engine-reproducible). Docs with fewer than n+1 tokens report 0 counts
     and 0.0 fractions.
 
-    Plan (100 TB shape): posexplode -> per-doc window ``lead`` builds both
-    n-gram columns in ONE pass (plain codegen concat_ws, no interpreted
-    higher-order lambdas), stack to (n, gram) long form, then
-    groupBy(doc, n, gram) -> groupBy(doc, n) -> groupBy(doc). The window's
-    hash partitioning on the doc id CLUSTERS every downstream groupBy
-    (subset-key distribution), so the token stream crosses the wire ONCE;
-    the only other exchange is the 8-byte doc-id projection joined back
-    for empty/short docs. Skew bound = longest single document.
+    Plan (100 TB shape, ``fused=True`` — the default): per-doc statistics
+    need NO data movement, so the n-gram counting runs as ONE fused Arrow
+    pass (functions/repetition.repetition_batch: rolling window hashes over
+    xxhash64 tokens, lexsort + run-length counts — the doc_signature_udf
+    pattern) and the only plan nodes are a scan, one ArrowEvalPython and a
+    projection: ZERO exchanges, skew bound = longest single doc. Fraction
+    and rounding arithmetic stays JVM-side, identical in both paths, so the
+    DuckDB oracle is value-exact either way. Measured at 600k docs / 84M
+    tokens / pinned local[8]: relational 111.5 s -> fused (see
+    BENCH/curation_at_size.json); identity is property-pinned in
+    tests/test_curation.py.
+    """
+    if not fused:
+        return repetition_signals_relational(docs, id_col, text_col)
+    from dedup_spark.functions.repetition import (
+        REPETITION_NS,
+        repetition_counts_udf,
+    )
+    from dedup_spark.functions.signatures import token_hashes
+
+    r = docs.select(
+        F.col(id_col),
+        repetition_counts_udf()(token_hashes(text_col)).alias("_r"),
+    )
+
+    def _frac(n: int, name: str):
+        tot = F.col(f"_r.tot{n}")
+        return F.round(
+            F.when(
+                tot > 0, F.col(f"_r.{name}{n}").cast("double") / tot
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
+
+    return r.select(
+        F.col(id_col),
+        *[
+            e
+            for n in REPETITION_NS
+            for e in (
+                F.col(f"_r.tot{n}").alias(f"n_{n}grams"),
+                _frac(n, "dup").alias(f"dup_{n}gram_frac"),
+                _frac(n, "top").alias(f"top_{n}gram_frac"),
+            )
+        ],
+    )
+
+
+def repetition_signals_relational(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Relational (oracle-shaped) twin of `repetition_signals` — same
+    output, pure DataFrame ops. Kept as the equivalence pin for the fused
+    kernel (its n-gram identity is string equality rather than window-hash
+    equality) and as the fallback if a deployment must avoid Python workers.
+
+    Plan: posexplode -> per-doc window ``lead`` builds both n-gram columns
+    in ONE pass (plain codegen concat_ws, no interpreted higher-order
+    lambdas), stack to (n, gram) long form, then groupBy(doc, n, gram) ->
+    groupBy(doc, n) -> groupBy(doc). The window's hash partitioning on the
+    doc id CLUSTERS every downstream groupBy (subset-key distribution), so
+    the token stream crosses the wire ONCE; the only other exchange is the
+    8-byte doc-id projection joined back for empty/short docs. Measured
+    111.5 s at 600k/local[8] pinned — the fused path replaces it as the
+    engine default.
     """
     toks = docs.select(
         F.col(id_col).alias("_id"),

@@ -333,6 +333,41 @@ def test_repetition_signals_hand_values(spark):
         assert got[d]["top_3gram_frac"] == 0.0
 
 
+def test_repetition_signals_fused_equals_relational(spark):
+    """The fused numpy kernel (window-hash n-gram identity, zero shuffles)
+    must be value-identical to the relational string-gram path on every
+    column — the hash-vs-string equivalence pin, same contract as the
+    shingle kernels. Covers repeats, short docs, empties, whitespace
+    normalization and a long planted-repetition doc."""
+    from dedup_spark.operators.curation import (
+        repetition_signals,
+        repetition_signals_relational,
+    )
+    from dedup_spark.testdata import make_corpus
+
+    rows = [
+        (1, "a b a b a"),
+        (2, "x y"),
+        (3, ""),
+        (4, "solo"),
+        (5, "  The   CAT sat  on the mat the cat SAT "),  # normalization
+        (6, "p q r " * 50),  # heavy planted repetition
+        (7, "one two three four five six seven eight nine ten"),  # all uniq
+    ] + [
+        (100 + i, t)
+        for i, t in enumerate(make_corpus(n_rows=60, seed=9).pages["text"])
+    ]
+    df = _docs(spark, rows)
+    fused = {
+        r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()
+    }
+    rel = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_signals_relational(df).collect()
+    }
+    assert fused == rel
+
+
 def test_leakage_safe_split_cluster_coherent(spark):
     from dedup_spark.operators.curation import (
         leakage_safe_split,

@@ -289,14 +289,28 @@ def test_redact_pii_zero_exchange_projection(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
-def test_repetition_signals_single_token_shuffle(spark):
-    """The n-gram stream crosses the wire ONCE: the per-doc window's hash
-    partitioning clusters every downstream groupBy (subset-key
-    distribution), so all three aggregations chain as HashAggregates with
-    no further Exchange; the join-back broadcasts the per-doc aggregate."""
+def test_repetition_signals_fused_zero_exchange(spark):
+    """Per-doc statistics move no data: the fused engine path is scan ->
+    one ArrowEvalPython (the numpy n-gram kernel) -> projection, with NO
+    Exchange anywhere and no row-at-a-time Python."""
     from dedup_spark.queries import QUERIES
 
     plan = plan_of(QUERIES["c10_repetition_signals"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_repetition_signals_relational_single_token_shuffle(spark):
+    """The relational twin's n-gram stream crosses the wire ONCE: the
+    per-doc window's hash partitioning clusters every downstream groupBy
+    (subset-key distribution), so all three aggregations chain as
+    HashAggregates with no further Exchange; the join-back broadcasts the
+    per-doc aggregate."""
+    from dedup_spark.operators.curation import repetition_signals_relational
+    from dedup_spark.queries import _docs
+
+    plan = plan_of(repetition_signals_relational(_docs(spark, SF_DIR)))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert "SortAggregate" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
