@@ -72,6 +72,7 @@ def main() -> None:
         "emb_cosine_topk",
         "emb_ann_topk",
         "emb_ivf_topk",
+        "emb_domain_assign",
         "f_token_count",
         "f_quality",
         "f_lang_id",

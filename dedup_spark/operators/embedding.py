@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
 from dedup_spark.operators.lsh import salted_pairs_from_buckets
@@ -259,6 +259,64 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def domain_assign(
+    vectors: DataFrame,
+    prototypes: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "v",
+    round_cosine: int = 4,
+) -> DataFrame:
+    """Nearest-prototype domain assignment: label every vector with the
+    prototype (domain) it is most cosine-similar to — the embedding-space
+    corpus-organization primitive behind cluster-balanced mixing, domain
+    tagging and curriculum construction (the coarse-quantizer assignment of
+    IVF exposed as a standalone curation operator).
+
+    `prototypes` is a (k, dim) float array of domain anchor vectors — seed
+    documents, trained centroids (`train_centroids`), or external concept
+    embeddings. Output: (id, domain_id, cosine) with domain_id the 0-based
+    prototype index; ties on the ROUNDED cosine break to the smallest
+    domain_id, and rounding happens BEFORE the argmax in engine and oracle
+    alike (the ann_topk round-before-rank precedent).
+
+    Plan (100 TB shape): a pure map — one Arrow pass computes all k cosines
+    per vector as a single (batch, dim) @ (dim, k) matmul, then a JVM
+    `greatest` over k (rounded cosine, -domain) structs picks the winner in
+    codegen. ZERO exchanges, no window, no explode; k is a plan-time
+    constant so the struct comparison never touches interpreted lambdas.
+    Skew-free by construction (every row does identical work).
+    """
+    P = np.asarray(prototypes, dtype=np.float64)
+    if P.ndim != 2 or P.shape[0] < 2:
+        raise ValueError("prototypes must be (k>=2, dim)")
+    k = P.shape[0]
+    pn = np.sqrt((P * P).sum(axis=1))  # |p| per prototype
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _cos(emb: pd.Series) -> pd.Series:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        xn = np.sqrt((X * X).sum(axis=1))
+        # cosine = dot / (|x| |p|), same formula the SQL oracle spells out
+        C = (X @ P.T) / (xn[:, None] * pn[None, :])
+        return pd.Series(list(C))  # ndarray row views, never Python lists
+
+    scored = vectors.select(F.col(id_col), _cos(vec_col).alias("_c"))
+    best = F.greatest(
+        *[
+            F.struct(
+                F.round(F.element_at("_c", i + 1), round_cosine).alias("c"),
+                F.lit(-i).cast("long").alias("nd"),
+            )
+            for i in range(k)
+        ]
+    )
+    return scored.select(
+        F.col(id_col),
+        (-best.getField("nd")).cast("long").alias("domain_id"),
+        best.getField("c").alias("cosine"),
     )
 
 

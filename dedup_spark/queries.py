@@ -923,6 +923,31 @@ def emb_ann_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
     ).select("query_id", "neighbor_id", "rank", "cosine")
 
 
+# Embedding-space domain assignment: label every vector with the nearest of
+# k seed prototypes (the k lowest vec_ids — deterministic, data-derived, the
+# bounded-collect class of IVF's centroid sample: 8 rows, O(1), never a scan).
+# This is the corpus-organization primitive for cluster-balanced mixing /
+# domain tagging; ties on the rounded cosine break to the smallest domain.
+def emb_domain_assign(spark, sf_dir, n_domains: int = 8):
+    import numpy as np
+
+    from dedup_spark.operators.embedding import domain_assign
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    protos = np.array(
+        [
+            r["v"]
+            for r in emb.orderBy("vec_id").limit(n_domains).collect()
+        ],
+        dtype=np.float64,
+    )
+    return domain_assign(
+        emb, protos, id_col="vec_id", vec_col="v", round_cosine=4
+    )
+
+
 # --------------------------------------------------------------------------
 # General analytics breadth (events / lineitem)
 def q_event_rollup(spark, sf_dir):
@@ -1105,6 +1130,7 @@ QUERIES = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_ann_topk": emb_ann_topk,
+    "emb_domain_assign": emb_domain_assign,
     "emb_ivf_topk": emb_ivf_topk,
     "q_event_rollup": q_event_rollup,
     "q_event_sessions": q_event_sessions,
@@ -1844,6 +1870,28 @@ ORACLE = {
     # reduce to exact search on the contract corpus by construction)
     "emb_ann_topk": _ANN_TOPK_ORACLE,
     "emb_ivf_topk": _ANN_TOPK_ORACLE,
+    # nearest-of-k-seed-prototypes assignment; round BEFORE the argmax rank
+    # on both sides, ties -> smallest domain_id (the ann_topk precedent)
+    "emb_domain_assign": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS domain_id, v
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        scored AS (
+          SELECT e.vec_id, p.domain_id,
+                 round(list_dot_product(e.v, p.v) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(p.v, p.v))), 4) AS cosine
+          FROM e CROSS JOIN p
+        )
+        SELECT vec_id, domain_id::BIGINT AS domain_id, cosine FROM (
+          SELECT vec_id, domain_id, cosine,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, domain_id ASC) AS rn
+          FROM scored
+        ) WHERE rn = 1
+    """,
     "q_event_rollup": """
         SELECT event_type, count(*) AS n_events, count(user_id) AS n_with_user,
                round(avg(value), 4) AS avg_value, round(sum(value), 4) AS sum_value

@@ -206,3 +206,78 @@ def test_band_key_mixing_supports_many_bands():
     assert keys.shape == (4, bands)
     for row in keys:
         assert len(set(row.tolist())) == bands, "cross-band key collision"
+
+
+def test_domain_assign_hand_values(spark):
+    """Nearest-prototype assignment on axis-aligned vectors where the
+    winner is known, plus the rounded-cosine tie -> smallest domain rule."""
+    from dedup_spark.operators.embedding import domain_assign
+
+    protos = np.array(
+        [
+            [1.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    rows = [
+        (0, [2.0, 0.1, 0.0]),   # -> domain 0
+        (1, [0.0, 5.0, 0.2]),   # -> domain 1
+        (2, [0.1, 0.0, 1.0]),   # -> domain 2
+        (3, [1.0, 1.0, 0.0]),   # exact tie d0/d1 -> smaller domain wins
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        r["id"]: (r["domain_id"], r["cosine"])
+        for r in domain_assign(df, protos, id_col="id", vec_col="v").collect()
+    }
+    assert got[0][0] == 0 and got[1][0] == 1 and got[2][0] == 2
+    assert got[3] == (0, 0.7071)
+    assert got[0][1] == round(2.0 / np.sqrt(4.01), 4)
+
+
+def test_domain_assign_zero_exchange_plan(spark):
+    """domain_assign is a pure map: one ArrowEvalPython (the matmul kernel)
+    and a codegen greatest-over-structs projection — no Exchange, no window,
+    no explode anywhere in the plan."""
+    import re
+
+    from dedup_spark.operators.embedding import domain_assign
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "id long, v array<double>"
+    )
+    protos = np.eye(2)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        domain_assign(df, protos, id_col="id", vec_col="v").explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "Generate" not in plan and "Window" not in plan, plan
+
+
+def test_domain_assign_matches_brute_force(spark, vectors):
+    """Against the fixture corpus: for every vector the assigned domain is
+    the argmax over numpy-computed rounded cosines with the same tie rule."""
+    from dedup_spark.operators.embedding import domain_assign
+
+    df, _ = vectors
+    pdf = df.toPandas()
+    X = np.vstack(pdf["embedding"].map(np.asarray))
+    protos = X[:4]
+    C = (X @ protos.T) / (
+        np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(protos, axis=1)[None, :]
+    )
+    Cr = np.round(C, 4)  # fixture cosines are nowhere near .5e-4 boundaries
+    expect = Cr.argmax(axis=1)  # argmax returns FIRST max = smallest domain
+    got = {
+        r["id"]: r["domain_id"]
+        for r in domain_assign(
+            df, protos, id_col="id", vec_col="embedding"
+        ).collect()
+    }
+    for i, vid in enumerate(pdf["id"]):
+        assert got[vid] == expect[i], vid
