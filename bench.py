@@ -73,6 +73,7 @@ def main() -> None:
         "emb_ann_topk",
         "emb_ivf_topk",
         "emb_domain_assign",
+        "emb_semantic_dedup",
         "f_token_count",
         "f_quality",
         "f_lang_id",

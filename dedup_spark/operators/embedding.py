@@ -320,6 +320,91 @@ def domain_assign(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    prototypes: np.ndarray,
+    threshold: float,
+    dim: int,
+    config: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "id",
+    vec_col: str = "v",
+    round_cosine: int = 4,
+    expected_n: int | None = None,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    assign every vector to its nearest prototype (domain), find within-domain
+    pairs with cosine >= threshold, merge them into clusters, and keep ONE
+    representative (the min id) per cluster — the embedding-space analogue of
+    the text pipeline's cluster-and-pick-representative flow, used to prune
+    semantically redundant training data that no lexical channel can see.
+
+    Output: (id, domain_id, rep_id, cluster_size, keep) for EVERY input
+    vector — singletons keep themselves with cluster_size 1, so downstream
+    `filter(keep)` is the pruned corpus and `1/cluster_size` is the
+    duplication-aware sampling weight.
+
+    Threshold semantics match `emb_near_dup_lsh`: the decision compares the
+    ROUNDED cosine (round_cosine digits) on both engine and oracle sides,
+    with candidates generated a hair below so boundary pairs are decided on
+    the rounded value. Only SAME-domain pairs become edges (the SemDeDup
+    contract: cross-domain redundancy is intentional corpus diversity).
+
+    Plan (100 TB shape): one zero-exchange Arrow pass for domain assignment
+    (`domain_assign`, spilled once — three consumers), the hyperplane-LSH
+    candidate channel (`cosine_near_dup_pairs`: size-aware banding, salted
+    skew-proof buckets, never a cross join), two 8-byte-id equi-joins to tag
+    pair endpoints with domains, hash-min connected components over the
+    surviving edges (O(log d) pointer-doubled rounds), and one count window
+    keyed by the 8-byte rep_id for cluster sizes. Near-identical vectors
+    almost always share a nearest prototype, so the same-domain filter drops
+    few candidates; folding domain_id into the band key would prune them
+    pre-shuffle but buys little because verification is already
+    candidate-bounded.
+    """
+    from dedup_spark.operators.components import connected_components
+    from dedup_spark.plans.pipeline import spill
+
+    assigned = domain_assign(
+        vectors, prototypes, id_col=id_col, vec_col=vec_col,
+        round_cosine=round_cosine,
+    ).select(F.col(id_col).alias("_sd_id"), "domain_id")
+    # UDF-computed + read 3x (two endpoint joins, final output): spill once
+    assigned = spill(assigned, config, "semdedup_domains")
+
+    pairs = cosine_near_dup_pairs(
+        vectors, dim=dim, threshold=threshold - 10.0 ** -round_cosine,
+        config=config, id_col=id_col, vec_col=vec_col, expected_n=expected_n,
+    ).withColumn("cosine", F.round("cosine", round_cosine)).filter(
+        F.col("cosine") >= threshold
+    )
+    da = assigned.select(F.col("_sd_id").alias("id_a"), F.col("domain_id").alias("_da"))
+    db = assigned.select(F.col("_sd_id").alias("id_b"), F.col("domain_id").alias("_db"))
+    edges = (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .filter(F.col("_da") == F.col("_db"))
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(edges, config)  # (id, cluster_id=min id)
+    out = (
+        assigned.select(F.col("_sd_id").alias(id_col), "domain_id")
+        .join(
+            labels.select(F.col("id").alias(id_col), "cluster_id"),
+            id_col,
+            "left",
+        )
+        .withColumn("rep_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    w = Window.partitionBy("rep_id")
+    return out.select(
+        F.col(id_col),
+        "domain_id",
+        "rep_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("rep_id")).alias("keep"),
+    )
+
+
 def train_centroids(
     vectors: DataFrame,
     n_centroids: int,

@@ -948,6 +948,31 @@ def emb_domain_assign(spark, sf_dir, n_domains: int = 8):
     )
 
 
+# Semantic dedup (SemDeDup): domain-assign to the same 8 seed prototypes,
+# within-domain cosine>=0.45 pairs (the corpus's near-dup band — driver
+# embeddings have no real dups, max cosine ~0.51), connected components,
+# keep the min-id representative per cluster. The oracle replays the whole
+# flow in DuckDB: argmax assignment, brute-force same-domain pairs on the
+# rounded cosine, recursive-CTE closure, min-id labels, window sizes.
+def emb_semantic_dedup(spark, sf_dir, threshold: float = 0.45,
+                       n_domains: int = 8):
+    import numpy as np
+
+    from dedup_spark.operators.embedding import semantic_dedup
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    protos = np.array(
+        [r["v"] for r in emb.orderBy("vec_id").limit(n_domains).collect()],
+        dtype=np.float64,
+    )
+    return semantic_dedup(
+        emb, protos, threshold=threshold, dim=_EMB_DIM, config=CFG,
+        id_col="vec_id", vec_col="v", round_cosine=4,
+    )
+
+
 # --------------------------------------------------------------------------
 # General analytics breadth (events / lineitem)
 def q_event_rollup(spark, sf_dir):
@@ -1131,6 +1156,7 @@ QUERIES = {
     "emb_near_dup_lsh": emb_near_dup_lsh,
     "emb_ann_topk": emb_ann_topk,
     "emb_domain_assign": emb_domain_assign,
+    "emb_semantic_dedup": emb_semantic_dedup,
     "emb_ivf_topk": emb_ivf_topk,
     "q_event_rollup": q_event_rollup,
     "q_event_sessions": q_event_sessions,
@@ -1891,6 +1917,60 @@ ORACLE = {
                                     ORDER BY cosine DESC, domain_id ASC) AS rn
           FROM scored
         ) WHERE rn = 1
+    """,
+    # SemDeDup closure oracle: argmax domain assignment (round-before-rank),
+    # brute-force same-domain pairs decided on the ROUNDED cosine (the
+    # emb_near_dup_lsh precedent), recursive-CTE transitive closure, min-id
+    # representative, window cluster sizes.
+    "emb_semantic_dedup": """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS domain_id, v
+          FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+        ),
+        assigned AS (
+          SELECT vec_id, domain_id FROM (
+            SELECT e.vec_id, p.domain_id,
+                   round(list_dot_product(e.v, p.v) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(p.v, p.v))), 4) AS cosine,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY round(list_dot_product(e.v, p.v) /
+                                                     (sqrt(list_dot_product(e.v, e.v)) *
+                                                      sqrt(list_dot_product(p.v, p.v))), 4) DESC,
+                                               p.domain_id ASC) AS rn
+            FROM e CROSS JOIN p
+          ) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT a.vec_id AS s, b.vec_id AS d
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          JOIN assigned da ON da.vec_id = a.vec_id
+          JOIN assigned db ON db.vec_id = b.vec_id
+                          AND db.domain_id = da.domain_id
+          WHERE round(list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) *
+                       sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+        ),
+        edges AS (
+          SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs
+        ),
+        reach(id, r) AS (
+          SELECT s, s FROM edges
+          UNION
+          SELECT e2.s, reach.r FROM edges e2 JOIN reach ON reach.id = e2.d
+        ),
+        labels AS (SELECT id AS vec_id, min(r) AS rep FROM reach GROUP BY id),
+        lab AS (
+          SELECT a.vec_id, a.domain_id,
+                 coalesce(l.rep, a.vec_id)::BIGINT AS rep_id
+          FROM assigned a LEFT JOIN labels l ON l.vec_id = a.vec_id
+        )
+        SELECT vec_id, domain_id::BIGINT AS domain_id, rep_id,
+               (count(*) OVER (PARTITION BY rep_id))::BIGINT AS cluster_size,
+               vec_id = rep_id AS keep
+        FROM lab
     """,
     "q_event_rollup": """
         SELECT event_type, count(*) AS n_events, count(user_id) AS n_with_user,

@@ -281,3 +281,86 @@ def test_domain_assign_matches_brute_force(spark, vectors):
     }
     for i, vid in enumerate(pdf["id"]):
         assert got[vid] == expect[i], vid
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Planted scenario: two tight clusters dedup to their min id, a
+    singleton keeps itself, and a near-identical pair that straddles a
+    domain boundary is NOT merged (the SemDeDup within-domain contract)."""
+    from dedup_spark.operators.embedding import semantic_dedup
+
+    e = np.eye(8)
+    protos = e[:3]
+    mid_a = e[0] + 0.9 * e[1]   # nearest proto 0
+    mid_b = 0.9 * e[0] + e[1]   # nearest proto 1; cosine(mid_a, mid_b)~0.994
+    rows = [
+        (10, e[0]), (11, e[0] + 0.01 * e[3]), (12, e[0] + 0.01 * e[4]),
+        (20, e[1]), (21, e[1] + 0.01 * e[5]),
+        (30, e[2]),
+        (40, mid_a), (41, mid_b),
+    ]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in rows], "id long, v array<double>"
+    )
+    got = {
+        r["id"]: (r["domain_id"], r["rep_id"], r["cluster_size"], r["keep"])
+        for r in semantic_dedup(df, protos, threshold=0.9, dim=8).collect()
+    }
+    assert len(got) == 8
+    for i in (10, 11, 12):
+        assert got[i] == (0, 10, 3, i == 10)
+    for i in (20, 21):
+        assert got[i] == (1, 20, 2, i == 20)
+    assert got[30] == (2, 30, 1, True)
+    # cosine(40,41) >= 0.9 but domains differ: both stay singletons
+    assert got[40] == (0, 40, 1, True)
+    assert got[41] == (1, 41, 1, True)
+
+
+def test_semantic_dedup_matches_brute_force(spark, vectors):
+    """Identity vs a numpy replay on the fixture corpus (string ids):
+    argmax assignment on rounded cosines, same-domain rounded-cosine>=t
+    pairs, union-find closure, min-id reps, sizes."""
+    from dedup_spark.operators.embedding import semantic_dedup
+
+    df, _ = vectors
+    pdf = df.toPandas()
+    ids = pdf["id"].tolist()
+    X = np.vstack(pdf["embedding"].map(np.asarray))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    protos = X[:4]
+    Pn = protos / np.linalg.norm(protos, axis=1, keepdims=True)
+    dom = np.round(Xn @ Pn.T, 4).argmax(axis=1)  # first max = smallest id
+    C = np.round(Xn @ Xn.T, 4)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if C[i, j] >= 0.95 and dom[i] == dom[j]:
+                ra, rb = find(ids[i]), find(ids[j])
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    reps = {i: find(i) for i in ids}
+    sizes: dict = {}
+    for r in reps.values():
+        sizes[r] = sizes.get(r, 0) + 1
+
+    got = semantic_dedup(
+        df, protos, threshold=0.95, dim=DIM, id_col="id", vec_col="embedding"
+    ).collect()
+    assert len(got) == n
+    for r in got:
+        i = ids.index(r["id"])
+        assert r["domain_id"] == dom[i], r
+        assert r["rep_id"] == reps[r["id"]], r
+        assert r["cluster_size"] == sizes[reps[r["id"]]], r
+        assert r["keep"] == (r["id"] == reps[r["id"]]), r
+    assert sum(1 for r in got if r["keep"]) == len(sizes)
