@@ -66,7 +66,15 @@ def test_star_join_broadcasts_dims(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["n7_jaccard_pairs", "emb_near_dup_lsh", "emb_ann_topk", "emb_ivf_topk"]
+    "name",
+    [
+        "n7_jaccard_pairs",
+        "emb_near_dup_lsh",
+        "emb_ann_topk",
+        "emb_ivf_topk",
+        "emb_domain_assign",
+        "emb_semantic_dedup",
+    ],
 )
 def test_scale_paths_have_no_cartesian_product(spark, name):
     """Every near-dup / ANN scale path is banded or celled equi-join work;
