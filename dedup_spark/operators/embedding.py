@@ -137,9 +137,13 @@ def _band_keys_numpy(
     with band 402. A multiply-mix collision is ~2^-64 per band pair and
     only merges buckets (extra candidates, removed by exact verification).
     """
-    bits = (X @ H) > 0  # (n, n_bits)
+    return _pack_band_keys((X @ H) > 0, bands, rows_per_band)
+
+
+def _pack_band_keys(bits: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, n_bits) bool sign matrix -> (n, bands) band-mixed int64 keys."""
     weights = np.uint64(1) << np.arange(rows_per_band, dtype=np.uint64)
-    keys = np.empty((len(X), bands), dtype=np.int64)
+    keys = np.empty((len(bits), bands), dtype=np.int64)
     for b in range(bands):
         block = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
         packed = (block.astype(np.uint64) * weights[None, :]).sum(axis=1)
@@ -349,33 +353,90 @@ def semantic_dedup(
     the rounded value. Only SAME-domain pairs become edges (the SemDeDup
     contract: cross-domain redundancy is intentional corpus diversity).
 
-    Plan (100 TB shape): one zero-exchange Arrow pass for domain assignment
-    (`domain_assign`, spilled once — three consumers), the hyperplane-LSH
-    candidate channel (`cosine_near_dup_pairs`: size-aware banding, salted
-    skew-proof buckets, never a cross join), two 8-byte-id equi-joins to tag
-    pair endpoints with domains, hash-min connected components over the
-    surviving edges (O(log d) pointer-doubled rounds), and one count window
-    keyed by the 8-byte rep_id for cluster sizes. Near-identical vectors
-    almost always share a nearest prototype, so the same-domain filter drops
-    few candidates; folding domain_id into the band key would prune them
-    pre-shuffle but buys little because verification is already
-    candidate-bounded.
+    Plan (100 TB shape): ONE full-corpus Arrow pass computes BOTH the domain
+    assignment and the hyperplane band keys — prototypes and hyperplanes are
+    stacked into a single (dim, k + n_bits) matrix so the whole map phase is
+    one BLAS matmul per batch — and is spilled ONCE with two column-pruned
+    consumers (domains, band explode). Candidates come from the size-aware
+    salted bucket machinery (threshold- and corpus-size-adaptive banding,
+    skew-proof, never a cross join), verification is exact JVM cosine on the
+    rounded value, two 8-byte-id equi-joins tag pair endpoints with domains,
+    hash-min connected components merge the surviving edges (O(log d)
+    pointer-doubled rounds), and one count window keyed by the 8-byte rep_id
+    yields cluster sizes. Near-identical vectors almost always share a
+    nearest prototype, so the same-domain filter drops few candidates;
+    folding domain_id into the band key would prune them pre-shuffle but
+    buys little because verification is already candidate-bounded.
     """
+    from pyspark.sql.types import StructField, StructType
+
     from dedup_spark.operators.components import connected_components
     from dedup_spark.plans.pipeline import spill
 
-    assigned = domain_assign(
-        vectors, prototypes, id_col=id_col, vec_col=vec_col,
-        round_cosine=round_cosine,
-    ).select(F.col(id_col).alias("_sd_id"), "domain_id")
-    # UDF-computed + read 3x (two endpoint joins, final output): spill once
-    assigned = spill(assigned, config, "semdedup_domains")
+    P = np.asarray(prototypes, dtype=np.float64)
+    if P.ndim != 2 or P.shape[0] < 2:
+        raise ValueError("prototypes must be (k>=2, dim)")
+    if P.shape[1] != dim:
+        raise ValueError(f"prototypes dim {P.shape[1]} != dim {dim}")
+    k = P.shape[0]
+    pn = np.sqrt((P * P).sum(axis=1))
 
-    pairs = cosine_near_dup_pairs(
-        vectors, dim=dim, threshold=threshold - 10.0 ** -round_cosine,
-        config=config, id_col=id_col, vec_col=vec_col, expected_n=expected_n,
-    ).withColumn("cosine", F.round("cosine", round_cosine)).filter(
-        F.col("cosine") >= threshold
+    if expected_n is None:
+        expected_n = vectors.count()
+    gen_threshold = threshold - 10.0 ** -round_cosine
+    bands, rows_per_band = banding_for_threshold(gen_threshold, n=expected_n)
+    H = _hyperplanes(dim, bands * rows_per_band, config.minhash_seed)
+    M = np.hstack([P.T, H])  # (dim, k + n_bits): one matmul does both
+
+    feat_schema = StructType(
+        [
+            StructField("domain_id", LongType()),
+            StructField("band_keys", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(feat_schema)
+    def _feats(emb: pd.Series) -> pd.DataFrame:
+        X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+        Y = X @ M  # (n, k + n_bits)
+        xn = np.sqrt((X * X).sum(axis=1))
+        C = np.round(Y[:, :k] / (xn[:, None] * pn[None, :]), round_cosine)
+        # first max = smallest domain_id: identical to domain_assign's JVM
+        # greatest-struct tie rule (pinned by the brute-force identity test)
+        dom = C.argmax(axis=1).astype(np.int64)
+        keys = _pack_band_keys(Y[:, k:] > 0, bands, rows_per_band)
+        return pd.DataFrame({"domain_id": dom, "band_keys": list(keys)})
+
+    v = vectors.select(
+        F.col(id_col).alias("_sd_id"),
+        F.col(vec_col).cast("array<double>").alias("_sd_v"),
+    )
+    feats = v.select("_sd_id", _feats("_sd_v").alias("_f")).select(
+        "_sd_id", F.col("_f.domain_id").alias("domain_id"),
+        F.col("_f.band_keys").alias("band_keys"),
+    )
+    # UDF-computed, multi-consumer (domain joins + band explode, and the
+    # salted generator reads its input up to 4x): spill exactly once
+    feats = spill(feats, config, "semdedup_feats")
+    assigned = feats.select("_sd_id", "domain_id")
+
+    exploded = feats.select(
+        F.col("_sd_id").alias("id"), F.explode("band_keys").alias("band_key")
+    )
+    cand = salted_pairs_from_buckets(
+        exploded, channel="embedding", nsalt=config.bucket_salts,
+        spill_dir=config.spill_dir,
+    )
+    a = v.select(F.col("_sd_id").alias("id_a"), F.col("_sd_v").alias("va"))
+    b = v.select(F.col("_sd_id").alias("id_b"), F.col("_sd_v").alias("vb"))
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine", F.round(_cosine(F.col("va"), F.col("vb")), round_cosine)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
     )
     da = assigned.select(F.col("_sd_id").alias("id_a"), F.col("domain_id").alias("_da"))
     db = assigned.select(F.col("_sd_id").alias("id_b"), F.col("domain_id").alias("_db"))
