@@ -409,7 +409,6 @@ def _pairs_stage(
         full_pairs,
         incremental_pairs,
     )
-    from dedup_spark.plans.pipeline import spill
 
     name = "pairs"
     marker = run._read_marker(name)
@@ -421,11 +420,17 @@ def _pairs_stage(
 
     prepared = prepared_fn()
     t0 = time.perf_counter()
-    # current-corpus sidecar contents; spilled because the incremental path
-    # reads them multiple times (guard + diff + regen semi-joins) and the
-    # sidecar promotion re-reads them once more
-    new_buckets = spill(bucket_fingerprints(prepared, config), config, "nbkt")
-    new_docsig = spill(doc_signatures(prepared), config, "ndsg")
+    # current-corpus sidecars: written straight to their final versioned
+    # location (atomic staging+rename) and read back — one materialization
+    # serves the incremental path's multiple reads (guard + diff + regen
+    # semi-joins) AND the promotion, instead of the old spill-then-rewrite
+    # double write. Writing before the pairs parquet is safe: the marker
+    # swing at the end is the consistency point, and a crash in between
+    # just leaves an unreferenced version dir the next run overwrites.
+    run._atomic_write(bucket_fingerprints(prepared, config), buckets_path)
+    run._atomic_write(doc_signatures(prepared), docsig_path)
+    new_buckets = run.spark.read.parquet(buckets_path)
+    new_docsig = run.spark.read.parquet(docsig_path)
 
     df = None
     mode = "full"
@@ -462,8 +467,6 @@ def _pairs_stage(
     run._atomic_write(df, path)
     out = run.spark.read.parquet(path)
     rows = out.count()
-    run._atomic_write(new_buckets, buckets_path)
-    run._atomic_write(new_docsig, docsig_path)
     run._write_marker(
         StageRecord(
             name, "", rows, round(time.perf_counter() - t0, 3),
