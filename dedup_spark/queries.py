@@ -499,6 +499,24 @@ def pipeline_end_to_end(spark, sf_dir):
     )
 
 
+# N11: duplicate-cluster size distribution — the corpus-health report every
+# dedup paper leads with (how much of the crawl is 2-copies vs 1000-copy
+# boilerplate). Two map-side-combining aggs over the members table; graded
+# by the same recursive-CTE closure oracle as the pipeline, so it re-checks
+# the clustering from a different angle (a CC bug that merges or splits
+# clusters moves this histogram even when row counts survive).
+def n11_cluster_size_histogram(spark, sf_dir):
+    from dedup_spark.plans.pipeline import run_dedup
+
+    members = run_dedup(documents_as_pages(spark, sf_dir), CFG).members
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
 # N9: checkpoint/resume. Runs the checkpointed pipeline TWICE into a fresh
 # root: the cold run computes and marks every stage (one per source partition
 # + the global members stage), the warm run must replay all of them and
@@ -1151,6 +1169,7 @@ QUERIES = {
     "c10_repetition_signals": c10_repetition_signals,
     "c11_leakage_safe_split": c11_leakage_safe_split,
     "pipeline_end_to_end": pipeline_end_to_end,
+    "n11_cluster_size_histogram": n11_cluster_size_histogram,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_near_dup_lsh": emb_near_dup_lsh,
@@ -1540,6 +1559,13 @@ ORACLE = {
         SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
     """,
     "pipeline_end_to_end": _pipeline_oracle_sql(),
+    "n11_cluster_size_histogram": _pipeline_oracle_sql(
+        final_select="""
+        SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+          SELECT cluster_id, count(*)::BIGINT AS cluster_size
+          FROM labels GROUP BY cluster_id
+        ) GROUP BY cluster_size"""
+    ),
     # same closure CTEs; the split residue scheme + thresholds come verbatim
     # from operators/curation.split_thresholds (integer-only arithmetic)
     "c11_leakage_safe_split": _pipeline_oracle_sql(
