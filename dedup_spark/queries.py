@@ -612,6 +612,58 @@ def s10_stream_first_seen(spark, sf_dir):
     )
 
 
+# S11: streaming NEAR-dup — the stateful shingle-bucket candidate stream
+# (cross-micro-batch, event-time-TTL state) drained availableNow, then
+# batch-rescored to exact Jaccard >= 0.7. The oracle replays the whole flow
+# relationally: shared-shingle candidates + unrounded-IEEE Jaccard filter
+# (the same `near` semantics as the pipeline closure oracle), so the driver
+# value-checks that the streaming candidate generator loses no pair the
+# batch channel would find. Cross-batch state behavior is pinned separately
+# in tests/test_streaming.py.
+def s11_stream_near_dups(spark, sf_dir, threshold: float = 0.7):
+    import tempfile
+
+    from dedup_spark.functions.signatures import shingle_hashes_udf, token_hashes
+    from dedup_spark.plans.pipeline import register_temp_dir
+    from dedup_spark.streaming.ingest import read_pages_stream, run_stream_to_parquet
+    from dedup_spark.streaming.stateful import stream_near_dup_candidates
+
+    base = tempfile.mkdtemp(prefix="dedup_s11_stream_")
+    register_temp_dir(base)
+    documents_as_pages(spark, sf_dir).coalesce(1).write.parquet(f"{base}/src")
+    cands = stream_near_dup_candidates(
+        read_pages_stream(spark, f"{base}/src"), CFG
+    )
+    run_stream_to_parquet(cands, f"{base}/out", f"{base}/ck")
+    pairs = (
+        spark.read.parquet(f"{base}/out")
+        .select(
+            F.least(
+                F.col("url_a").cast("long"), F.col("url_b").cast("long")
+            ).alias("doc_a"),
+            F.greatest(
+                F.col("url_a").cast("long"), F.col("url_b").cast("long")
+            ).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = documents_as_pages(spark, sf_dir).select(
+        F.col("url").cast("long").alias("_id"),
+        shingle_hashes_udf(CFG)(token_hashes("text")).alias("_sh"),
+    )
+    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("_j", inter.cast("double") / union)
+        .filter(F.col("_j") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
+    )
+
+
 # M1: multimodal decode round-trip. Documents drive a deterministic fake
 # media table (payload params are pure SQL functions of doc_id/n_chars), the
 # binary payloads are built in one mapInPandas pass, and decode_media (the
@@ -1156,6 +1208,7 @@ QUERIES = {
     "n9_checkpoint_resume": n9_checkpoint_resume,
     "s9_stream_ingest": s9_stream_ingest,
     "s10_stream_first_seen": s10_stream_first_seen,
+    "s11_stream_near_dups": s11_stream_near_dups,
     "m1_media_decode": m1_media_decode,
     "c1_quality_filter": c1_quality_filter,
     "c2_delta_dedup": c2_delta_dedup,
@@ -1628,6 +1681,25 @@ ORACLE = {
           FROM documents
           WHERE regexp_replace(text, '\\s+', '', 'g') != ''
         )
+    """,
+    # streaming near-dup: shared-shingle candidates + exact Jaccard >= 0.7,
+    # decided on the UNROUNDED IEEE division (jaccard rounded output-only)
+    "s11_stream_near_dups": f"""
+        WITH sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sa.s, sb.s)) /
+                 (len(sa.s) + len(sb.s) -
+                  len(list_intersect(sa.s, sb.s)))::DOUBLE AS j
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+        ) WHERE j >= 0.7
     """,
     "m1_media_decode": """
         WITH p AS (
