@@ -87,6 +87,7 @@ def main() -> None:
         "c8_segment_dedup",
         "c9_pii_redact",
         "c10_repetition_signals",
+        "c13_token_rarity",
     ]
 
     timings: dict[str, float] = {}

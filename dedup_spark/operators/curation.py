@@ -724,3 +724,58 @@ def pack_tokens(
         .withColumn("pack_pos", F.col("_start") % F.lit(budget))
         .select(id_col, shard_col, "n_tokens", "pack_id", "pack_pos")
     )
+
+
+def token_rarity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-commonness scoring: for every document, the average DOCUMENT
+    FREQUENCY of its distinct tokens — high avg df = template/boilerplate
+    vocabulary shared across the crawl, low = rare/specialist text. The
+    corpus-statistics quality signal CCNet-class pipelines use where a
+    per-doc heuristic (`quality_filter`) cannot see cross-document
+    commonness.
+
+    Output: (id, n_distinct_tokens, avg_token_df) with
+    avg_token_df = sum(df of each distinct token) / n_distinct_tokens —
+    two EXACT integer sums and one final division, so the score is
+    bit-reproducible across engines (unlike log-based perplexity, whose
+    per-call libm ulp drift accumulates over a doc's tokens). Empty docs
+    keep a row with n_distinct_tokens = 0 and a null score.
+
+    Plan (100 TB shape): one distinct-token explode feeding a map-side-
+    combining df agg (vocabulary-sized output), one equi-join of the token
+    stream back to that table keyed by the token, one per-doc agg. The df
+    table is Zipf-bounded (vocabulary grows ~sublinearly with corpus), so
+    AQE typically broadcasts it; no window, no driver action, and skew on
+    stopword-class tokens is bounded by the join being map-side after the
+    broadcast.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_tid"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    df_tab = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    per_doc = (
+        tok.join(df_tab, "tok")
+        .groupBy("_tid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.sum("_df").alias("_s"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("_tid"))
+        .join(per_doc, "_tid", "left")
+        .select(
+            F.col("_tid").alias(id_col),
+            F.coalesce("n_distinct_tokens", F.lit(0)).cast("long").alias(
+                "n_distinct_tokens"
+            ),
+            F.round(
+                F.col("_s") / F.col("n_distinct_tokens"), 4
+            ).alias("avg_token_df"),
+        )
+    )

@@ -853,6 +853,15 @@ def c10_repetition_signals(spark, sf_dir):
 # C11: leakage-safe train/val/test split — the split key is the DEDUP
 # CLUSTER label, so near-duplicate docs can never straddle train and eval.
 # Runs the full pipeline for labels, then the stateless residue assignment.
+# C13: corpus-commonness scoring — avg document frequency of each doc's
+# distinct tokens (two exact integer sums + one division: bit-reproducible
+# across engines, the f_token_count tokenization on both sides).
+def c13_token_rarity(spark, sf_dir):
+    from dedup_spark.operators.curation import token_rarity
+
+    return token_rarity(_docs(spark, sf_dir))
+
+
 def c11_leakage_safe_split(spark, sf_dir):
     from dedup_spark.operators.curation import leakage_safe_split
     from dedup_spark.plans.pipeline import run_dedup
@@ -1221,6 +1230,7 @@ QUERIES = {
     "c9_pii_redact": c9_pii_redact,
     "c10_repetition_signals": c10_repetition_signals,
     "c11_leakage_safe_split": c11_leakage_safe_split,
+    "c13_token_rarity": c13_token_rarity,
     "pipeline_end_to_end": pipeline_end_to_end,
     "n11_cluster_size_histogram": n11_cluster_size_histogram,
     "emb_cosine_topk": emb_cosine_topk,
@@ -1413,6 +1423,26 @@ ORACLE = {
         SELECT doc_id,
                (case when {_NORM} = '' then 0 else len({_WORDS}) end) AS n_tokens
         FROM documents
+    """,
+    # avg document frequency of each doc's distinct tokens: integer sums +
+    # one division on both sides; sum(BIGINT) is HUGEINT in DuckDB -> cast
+    "c13_token_rarity": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 (case when {_NORM} = '' then [] else {_WORDS} end) AS w
+          FROM documents
+        ),
+        tok AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM w),
+        df AS (SELECT tok, count(*)::BIGINT AS df FROM tok GROUP BY tok),
+        per AS (
+          SELECT t.doc_id, count(*)::BIGINT AS n_distinct,
+                 sum(df.df)::BIGINT AS s
+          FROM tok t JOIN df USING (tok) GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_distinct, 0)::BIGINT AS n_distinct_tokens,
+               round(per.s / per.n_distinct::DOUBLE, 4) AS avg_token_df
+        FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
     """,
     "f_quality": rf"""
         WITH base AS (

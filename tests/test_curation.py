@@ -393,3 +393,25 @@ def test_leakage_safe_split_cluster_coherent(spark):
     # thresholds are integer-derived (the c5 never-float-rates rule)
     assert split_thresholds() == (6553, 13106)
     assert split_thresholds(val_pct=0, test_pct=0) == (0, 0)
+
+
+def test_token_rarity_hand_values(spark):
+    """avg df on a corpus small enough to compute by hand; empty doc keeps a
+    row with a null score."""
+    from dedup_spark.operators.curation import token_rarity
+
+    rows = [
+        (0, "the cat"),          # the: df 3, cat: df 2 -> avg 2.5
+        (1, "the cat the cat"),  # distinct {the, cat} -> avg 2.5
+        (2, "the dog"),          # the 3, dog 1 -> avg 2.0
+        (3, ""),                 # empty -> 0 tokens, null score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_distinct_tokens"], r["avg_token_df"])
+        for r in token_rarity(df).collect()
+    }
+    assert got[0] == (2, 2.5)
+    assert got[1] == (2, 2.5)
+    assert got[2] == (2, 2.0)
+    assert got[3] == (0, None)
