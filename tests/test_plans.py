@@ -129,7 +129,9 @@ def test_decontaminate_broadcasts_eval_set(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-@pytest.mark.parametrize("name", ["c1_quality_filter", "c2_delta_dedup"])
+@pytest.mark.parametrize(
+    "name", ["c1_quality_filter", "c2_delta_dedup", "c13_token_rarity"]
+)
 def test_curation_paths_have_no_cartesian_product(spark, name):
     """Quality gating is pure hash aggregation and delta dedup is shingle-hash
     equi-join work — a cartesian anywhere means a quadratic plan."""
