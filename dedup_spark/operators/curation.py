@@ -779,3 +779,53 @@ def token_rarity(
             ).alias("avg_token_df"),
         )
     )
+
+
+def containment_pairs(
+    docs_sh: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "id",
+    sh_col: str = "shingle_hashes",
+    config=None,
+) -> DataFrame:
+    """Partial-copy detection: pairs whose shingle-set CONTAINMENT
+    |A∩B| / min(|A|, |B|) >= threshold — the asymmetric near-dup flavor
+    symmetric Jaccard misses (a syndicated article wrapped in a big portal
+    page has high containment but low Jaccard because the denominators
+    differ), the signal behind quote/wrapper/superset detection in webtext
+    curation.
+
+    Input: (id, shingle_hashes) — callers with UDF-computed shingles must
+    spill first (the salted generator reads its input multiple times).
+    Output: (id_a, id_b, containment) with id_a < id_b; the threshold
+    decision compares the UNROUNDED IEEE ratio (the c2/n7 precedent),
+    the output column is rounded to 4.
+
+    Plan (100 TB shape): candidates ride the size-aware salted bucket
+    generator on shingle-hash keys (containment > 0 requires a shared
+    shingle; recall 1 below the star cap, the same surfaced boilerplate
+    trade as every shingle channel), then one wide equi-join pins both
+    shingle sets for the exact intersect — never a cross join.
+    """
+    from dedup_spark.config import DEFAULT_CONFIG
+    from dedup_spark.operators.lsh import salted_pairs_from_buckets
+
+    cfg = config or DEFAULT_CONFIG
+    ex = docs_sh.select(
+        F.col(id_col).alias("id"), F.explode(sh_col).alias("band_key")
+    )
+    cand = salted_pairs_from_buckets(
+        ex, channel="containment", nsalt=cfg.bucket_salts,
+        spill_dir=cfg.spill_dir,
+    ).select("id_a", "id_b")
+    a = docs_sh.select(F.col(id_col).alias("id_a"), F.col(sh_col).alias("_sa"))
+    b = docs_sh.select(F.col(id_col).alias("id_b"), F.col(sh_col).alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    denom = F.least(F.size("_sa"), F.size("_sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_c", inter.cast("double") / denom)
+        .filter(F.col("_c") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("_c", 4).alias("containment"))
+    )

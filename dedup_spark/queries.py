@@ -390,6 +390,27 @@ def n5_simhash(spark, sf_dir):
 # miss probability at J = 0.7 is (1 - 0.7^4)^32 ~ 1.6e-4 and the fixed-seed
 # signatures are deterministic, so the count is stable, and a regression in
 # signatures, banding, or the salted generator turns the row red.
+# N12: containment pairs — the asymmetric near-dup flavor (|A∩B|/min sizes):
+# catches a doc mostly inside a bigger one where Jaccard stays low. Shared-
+# shingle candidates, unrounded-IEEE threshold, rounded output (c2/n7 rules).
+def n12_containment_pairs(spark, sf_dir, threshold: float = 0.9):
+    from dedup_spark.operators.curation import containment_pairs
+    from dedup_spark.plans.pipeline import spill
+
+    sh = spill(
+        _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes"),
+        CFG,
+        "n12_feats",
+    )
+    return containment_pairs(
+        sh, threshold=threshold, id_col="doc_id", config=CFG
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "containment",
+    )
+
+
 def n4_recall_vs_oracle(spark, sf_dir, threshold: float = 0.7):
     from dedup_spark.operators.lsh import salted_pairs_from_buckets
     from dedup_spark.plans.pipeline import spill
@@ -1233,6 +1254,7 @@ QUERIES = {
     "c13_token_rarity": c13_token_rarity,
     "pipeline_end_to_end": pipeline_end_to_end,
     "n11_cluster_size_histogram": n11_cluster_size_histogram,
+    "n12_containment_pairs": n12_containment_pairs,
     "emb_cosine_topk": emb_cosine_topk,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_near_dup_lsh": emb_near_dup_lsh,
@@ -1711,6 +1733,24 @@ ORACLE = {
           FROM documents
           WHERE regexp_replace(text, '\\s+', '', 'g') != ''
         )
+    """,
+    # containment: shared-shingle candidates + |A∩B|/min(|A|,|B|) >= 0.9,
+    # decided on the UNROUNDED IEEE division (containment rounded output-only)
+    "n12_containment_pairs": f"""
+        WITH sh AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, round(c, 4) AS containment FROM (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sa.s, sb.s)) /
+                 least(len(sa.s), len(sb.s))::DOUBLE AS c
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+        ) WHERE c >= 0.9
     """,
     # streaming near-dup: shared-shingle candidates + exact Jaccard >= 0.7,
     # decided on the UNROUNDED IEEE division (jaccard rounded output-only)

@@ -415,3 +415,20 @@ def test_token_rarity_hand_values(spark):
     assert got[1] == (2, 2.5)
     assert got[2] == (2, 2.0)
     assert got[3] == (0, None)
+
+
+def test_containment_pairs_hand_values(spark):
+    """A's shingle set fully inside B's -> containment 1.0 even though
+    Jaccard is 4/6; C shares nothing. Threshold 0.9 keeps only (A, B)."""
+    from dedup_spark.operators.curation import containment_pairs
+
+    rows = [
+        (1, [11, 12, 13, 14]),
+        (2, [11, 12, 13, 14, 15, 16]),
+        (3, [99]),
+    ]
+    df = spark.createDataFrame(rows, "id long, shingle_hashes array<long>")
+    got = containment_pairs(df, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"], r["containment"]) == (1, 2, 1.0)
