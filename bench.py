@@ -67,6 +67,7 @@ def main() -> None:
         "n4_lsh_candidate_pairs",
         "n5_simhash",
         "n6_suffix_pairs",
+        "n12_containment_pairs",
         "n7_jaccard_pairs",
         "n8_connected_components",
         "emb_cosine_topk",
