@@ -633,55 +633,38 @@ def s10_stream_first_seen(spark, sf_dir):
     )
 
 
-# S11: streaming NEAR-dup — the stateful shingle-bucket candidate stream
-# (cross-micro-batch, event-time-TTL state) drained availableNow, then
-# batch-rescored to exact Jaccard >= 0.7. The oracle replays the whole flow
-# relationally: shared-shingle candidates + unrounded-IEEE Jaccard filter
-# (the same `near` semantics as the pipeline closure oracle), so the driver
-# value-checks that the streaming candidate generator loses no pair the
-# batch channel would find. Cross-batch state behavior is pinned separately
-# in tests/test_streaming.py.
+# S11: streaming NEAR-dup — the foreachBatch incremental-index scale path
+# (streaming/neardup.py: per micro-batch, JVM shingle equi-joins vs the
+# accumulated index + within-batch, exact Jaccard >= 0.7, then the batch
+# appends itself to the index; no per-key Python state). The oracle replays
+# the flow relationally: shared-shingle candidates + unrounded-IEEE Jaccard
+# filter (the pipeline `near` semantics), so the driver value-checks the
+# streaming path against the batch channel. The stateful-state twin
+# (stream_near_dup_candidates) is equivalence- and cross-batch-pinned in
+# tests/test_streaming.py; its per-shingle-group Python overhead makes it
+# the exactness/TTL variant, not the scale path (BENCH/stream_neardup.json).
 def s11_stream_near_dups(spark, sf_dir, threshold: float = 0.7):
     import tempfile
 
-    from dedup_spark.functions.signatures import shingle_hashes_udf, token_hashes
     from dedup_spark.plans.pipeline import register_temp_dir
-    from dedup_spark.streaming.ingest import read_pages_stream, run_stream_to_parquet
-    from dedup_spark.streaming.stateful import stream_near_dup_candidates
+    from dedup_spark.streaming.ingest import read_pages_stream
+    from dedup_spark.streaming.neardup import run_stream_near_dups
 
     base = tempfile.mkdtemp(prefix="dedup_s11_stream_")
     register_temp_dir(base)
     documents_as_pages(spark, sf_dir).coalesce(1).write.parquet(f"{base}/src")
-    cands = stream_near_dup_candidates(
-        read_pages_stream(spark, f"{base}/src"), CFG
+    run_stream_near_dups(
+        read_pages_stream(spark, f"{base}/src"), f"{base}/w",
+        threshold=threshold, config=CFG,
     )
-    run_stream_to_parquet(cands, f"{base}/out", f"{base}/ck")
-    pairs = (
-        spark.read.parquet(f"{base}/out")
-        .select(
-            F.least(
-                F.col("url_a").cast("long"), F.col("url_b").cast("long")
-            ).alias("doc_a"),
-            F.greatest(
-                F.col("url_a").cast("long"), F.col("url_b").cast("long")
-            ).alias("doc_b"),
-        )
-        .distinct()
-    )
-    sh = documents_as_pages(spark, sf_dir).select(
-        F.col("url").cast("long").alias("_id"),
-        shingle_hashes_udf(CFG)(token_hashes("text")).alias("_sh"),
-    )
-    a = sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sa"))
-    b = sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size("_sa") + F.size("_sb") - inter
-    return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("_j", inter.cast("double") / union)
-        .filter(F.col("_j") >= F.lit(threshold))
-        .select("doc_a", "doc_b", F.round("_j", 4).alias("jaccard"))
+    return spark.read.parquet(f"{base}/w/pairs").select(
+        F.least(
+            F.col("url_a").cast("long"), F.col("url_b").cast("long")
+        ).alias("doc_a"),
+        F.greatest(
+            F.col("url_a").cast("long"), F.col("url_b").cast("long")
+        ).alias("doc_b"),
+        "jaccard",
     )
 
 

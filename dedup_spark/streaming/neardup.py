@@ -1,0 +1,131 @@
+"""Streaming near-dup front door — the SCALE path (foreachBatch incremental
+index).
+
+Two designs exist for cross-batch near-dup detection and we measured both:
+
+1. `stateful.stream_near_dup_candidates` — applyInPandasWithState keyed by
+   shingle hash. Semantically exact and TTL-bounded, but the state API pays
+   a per-GROUP Python invocation (~100 µs), and shingle-granular keys mean
+   ~130 groups per page: measured 17 pages/s on 8 cores at 6k pages
+   (BENCH/stream_neardup.json). Keep per-key state for DOC-granular keys
+   (content hash: `stream_first_seen`); never for token/shingle-granular
+   keys.
+2. THIS module — `foreachBatch`: every micro-batch runs plain JVM batch
+   plans (the same fused shingle UDF + 8-byte-hash equi-joins as the batch
+   engine) against a growing parquet shingle index, then appends itself to
+   the index. No per-key Python, no Python state; cross-batch pairs appear
+   when their later member's batch arrives, within-batch pairs immediately,
+   and no pair repeats (index x index is never re-joined). State is the
+   on-disk index — prunable by event time for a TTL (the same watermark
+   trade as the stateful path, applied as an index filter).
+
+Per-batch cost grows with the index (delta-vs-base, like
+`curation.incremental_near_dups`); at a real crawl front door the index
+join is the same shape the 100 TB projection already sizes for c2.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup_spark.config import DedupConfig, DEFAULT_CONFIG
+from dedup_spark.functions.signatures import shingle_hashes_udf, token_hashes
+
+_FEATS = "url string, warc_ts timestamp, shingle_hashes array<bigint>"
+
+
+def batch_near_dups_vs_index(
+    batch: DataFrame,
+    index: DataFrame | None,
+    threshold: float = 0.7,
+    config: DedupConfig = DEFAULT_CONFIG,
+) -> tuple[DataFrame, DataFrame]:
+    """(new-batch pages, accumulated index feats | None) ->
+    (verified pairs, this batch's feats to append to the index).
+
+    Pairs: within-batch (url_a < url_b) plus batch x index, shared-shingle
+    candidates verified at exact Jaccard >= threshold (UNROUNDED decision,
+    rounded output — the engine-wide rule). Pure batch DataFrame plan:
+    usable inside foreachBatch or standalone.
+    """
+    src = batch
+    if config.drop_empty_text:
+        src = src.filter(F.regexp_replace(F.col("text"), r"\s+", "") != "")
+    feats = src.select(
+        "url",
+        "warc_ts",
+        shingle_hashes_udf(config)(token_hashes("text")).alias("shingle_hashes"),
+    )
+    new_ex = feats.select("url", F.explode("shingle_hashes").alias("_h"))
+    within = (
+        new_ex.alias("a")
+        .join(new_ex.alias("b"), "_h")
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("url_a"), F.col("b.url").alias("url_b"))
+    )
+    cand = within
+    all_sets = feats.select("url", "shingle_hashes")
+    if index is not None:
+        old_ex = index.select("url", F.explode("shingle_hashes").alias("_h"))
+        cross = (
+            new_ex.alias("a")
+            .join(old_ex.alias("b"), "_h")
+            .select(
+                F.least(F.col("a.url"), F.col("b.url")).alias("url_a"),
+                F.greatest(F.col("a.url"), F.col("b.url")).alias("url_b"),
+            )
+        )
+        cand = within.unionByName(cross)
+        all_sets = all_sets.unionByName(index.select("url", "shingle_hashes"))
+    cand = cand.distinct()
+    a = all_sets.select(F.col("url").alias("url_a"), F.col("shingle_hashes").alias("_sa"))
+    b = all_sets.select(F.col("url").alias("url_b"), F.col("shingle_hashes").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    pairs = (
+        cand.join(a, "url_a")
+        .join(b, "url_b")
+        .withColumn("_j", inter.cast("double") / union)
+        .filter(F.col("_j") >= F.lit(threshold))
+        .select("url_a", "url_b", F.round("_j", 4).alias("jaccard"))
+    )
+    return pairs, feats
+
+
+def run_stream_near_dups(
+    stream: DataFrame,
+    work_dir: str,
+    threshold: float = 0.7,
+    config: DedupConfig = DEFAULT_CONFIG,
+) -> None:
+    """Drain `stream` (input_hint pages) with an availableNow foreachBatch:
+    per micro-batch, emit verified near-dup pairs of that batch against
+    everything seen so far, then append the batch's shingle feats to the
+    index. Outputs: `{work_dir}/pairs` parquet; index at `{work_dir}/index`.
+    """
+    index_dir = os.path.join(work_dir, "index")
+    pairs_dir = os.path.join(work_dir, "pairs")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        index = (
+            spark.read.schema(_FEATS).parquet(index_dir)
+            if os.path.isdir(index_dir)
+            else None
+        )
+        pairs, feats = batch_near_dups_vs_index(
+            batch_df, index, threshold=threshold, config=config
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+        feats.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(work_dir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

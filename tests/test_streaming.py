@@ -278,3 +278,57 @@ def test_stream_near_dup_bucket_cap_saturates(spark, config, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert pairs == {("u0", "u1")}
+
+
+def test_foreachbatch_near_dup_matches_batch(spark, config, tmp_path):
+    """The foreachBatch incremental-index path over a multi-batch replay
+    finds EXACTLY the batch engine's shared-shingle J>=0.7 pairs — within-
+    batch, cross-batch, and no duplicates."""
+    import datetime
+    import time
+
+    from dedup_spark.functions.signatures import shingle_hashes_udf, token_hashes
+    from dedup_spark.streaming.neardup import run_stream_near_dups
+
+    src, work = str(tmp_path / "src"), str(tmp_path / "w")
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string"
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = [("u1", ts, None, base, "en", "s"),
+          ("u2", ts, None, base + " lambda", "en", "s"),      # within-batch dup
+          ("u9", ts, None, "nothing shared here at all qq rr ss tt uu", "en", "s")]
+    b2 = [("u3", ts + datetime.timedelta(minutes=5), None, base, "en", "s")]  # cross-batch dup of u1/u2
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    run_stream_near_dups(stream, work, threshold=0.7, config=config)
+    got = sorted(
+        (r.url_a, r.url_b)
+        for r in spark.read.parquet(f"{work}/pairs").collect()
+    )
+    # batch truth: all shared-shingle pairs with J >= 0.7 over the 4 docs
+    docs = spark.createDataFrame(b1 + b2, schema)
+    sh = docs.select("url", shingle_hashes_udf(config)(token_hashes("text")).alias("s"))
+    import pyspark.sql.functions as F
+
+    a = sh.select(F.col("url").alias("url_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("url").alias("url_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    truth = sorted(
+        (r.url_a, r.url_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("url_a") < F.col("url_b"))
+        .filter(F.size(F.array_intersect("sa", "sb")) > 0)
+        .filter((inter.cast("double") / union) >= 0.7)
+        .collect()
+    )
+    assert got == truth and ("u1", "u3") in got and ("u1", "u2") in got
+    assert len(got) == len(set(got))  # no pair emitted twice
