@@ -42,6 +42,7 @@ def batch_near_dups_vs_index(
     index: DataFrame | None,
     threshold: float = 0.7,
     config: DedupConfig = DEFAULT_CONFIG,
+    max_shingle_df: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(new-batch pages, accumulated index feats | None) ->
     (verified pairs, this batch's feats to append to the index).
@@ -50,6 +51,12 @@ def batch_near_dups_vs_index(
     candidates verified at exact Jaccard >= threshold (UNROUNDED decision,
     rounded output — the engine-wide rule). Pure batch DataFrame plan:
     usable inside foreachBatch or standalone.
+
+    `max_shingle_df` drops shingles whose within-BATCH document frequency
+    exceeds it from candidate generation (verification still uses the full
+    sets) — the same explicit boilerplate/recall trade as
+    `curation.incremental_near_dups`; a crawl front door needs it or a
+    navigation-bar shingle makes every batch join quadratic.
     """
     src = batch
     if config.drop_empty_text:
@@ -60,6 +67,14 @@ def batch_near_dups_vs_index(
         shingle_hashes_udf(config)(token_hashes("text")).alias("shingle_hashes"),
     )
     new_ex = feats.select("url", F.explode("shingle_hashes").alias("_h"))
+    if max_shingle_df is not None:
+        hot = (
+            new_ex.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("_h")
+        )
+        new_ex = new_ex.join(hot, "_h", "left_anti")
     within = (
         new_ex.alias("a")
         .join(new_ex.alias("b"), "_h")
@@ -100,6 +115,7 @@ def run_stream_near_dups(
     work_dir: str,
     threshold: float = 0.7,
     config: DedupConfig = DEFAULT_CONFIG,
+    max_shingle_df: int | None = None,
 ) -> None:
     """Drain `stream` (input_hint pages) with an availableNow foreachBatch:
     per micro-batch, emit verified near-dup pairs of that batch against
@@ -117,7 +133,8 @@ def run_stream_near_dups(
             else None
         )
         pairs, feats = batch_near_dups_vs_index(
-            batch_df, index, threshold=threshold, config=config
+            batch_df, index, threshold=threshold, config=config,
+            max_shingle_df=max_shingle_df,
         )
         pairs.write.mode("append").parquet(pairs_dir)
         feats.write.mode("append").parquet(index_dir)

@@ -332,3 +332,31 @@ def test_foreachbatch_near_dup_matches_batch(spark, config, tmp_path):
     )
     assert got == truth and ("u1", "u3") in got and ("u1", "u2") in got
     assert len(got) == len(set(got))  # no pair emitted twice
+
+
+def test_foreachbatch_max_shingle_df_drops_boilerplate(spark, config, tmp_path):
+    """With a batch-df cap, a boilerplate shingle shared by many docs stops
+    generating candidates, while genuine near-dups still pair."""
+    import datetime
+
+    from dedup_spark.streaming.neardup import batch_near_dups_vs_index
+
+    ts = datetime.datetime(2024, 1, 1)
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string"
+    )
+    nav = "home about contact privacy terms"  # one shared 5-token shingle
+    rows = [
+        ("u1", ts, None, nav + " aaa bbb ccc ddd eee", "en", "s"),
+        ("u2", ts, None, nav + " fff ggg hhh iii jjj", "en", "s"),
+        ("u3", ts, None, nav + " kkk lll mmm nnn ooo", "en", "s"),
+        ("u4", ts, None, "real dup words one two three four five", "en", "s"),
+        ("u5", ts, None, "real dup words one two three four five", "en", "s"),
+    ]
+    batch = spark.createDataFrame(rows, schema)
+    pairs, _ = batch_near_dups_vs_index(
+        batch, None, threshold=0.7, config=config, max_shingle_df=2
+    )
+    got = {tuple(sorted((r.url_a, r.url_b))) for r in pairs.collect()}
+    assert got == {("u4", "u5")}
