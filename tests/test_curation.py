@@ -432,3 +432,35 @@ def test_containment_pairs_hand_values(spark):
     assert len(got) == 1
     r = got[0]
     assert (r["id_a"], r["id_b"], r["containment"]) == (1, 2, 1.0)
+
+
+def test_containment_pairs_matches_brute_force_random(spark):
+    """30 random int-set docs: operator output equals a Python brute force
+    over all pairs (shared-element candidates are a superset of the
+    containment>=t set, so recall is structural)."""
+    import itertools
+
+    import numpy as np
+
+    from dedup_spark.operators.curation import containment_pairs
+
+    rng = np.random.default_rng(11)
+    sets = {
+        i: set(rng.choice(60, size=rng.integers(1, 12), replace=False).tolist())
+        for i in range(30)
+    }
+    t = 0.6
+    expect = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / min(len(sets[a]), len(sets[b])) >= t:
+            expect.add((a, b))
+    df = spark.createDataFrame(
+        [(i, sorted(int(x) for x in s)) for i, s in sets.items()],
+        "id long, shingle_hashes array<long>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(df, threshold=t).collect()
+    }
+    assert got == expect and len(expect) > 0

@@ -360,3 +360,40 @@ def test_foreachbatch_max_shingle_df_drops_boilerplate(spark, config, tmp_path):
     )
     got = {tuple(sorted((r.url_a, r.url_b))) for r in pairs.collect()}
     assert got == {("u4", "u5")}
+
+
+def test_foreachbatch_pairs_invariant_to_batch_split(spark, config, tmp_path):
+    """The incremental-index path's correctness model: the union of pairs is
+    the SAME set however the corpus is split into micro-batches (1, 2, or 3
+    files), and equals the whole-corpus shared-shingle J>=0.7 truth."""
+    import time
+
+    from dedup_spark.streaming.neardup import run_stream_near_dups
+    from dedup_spark.testdata import corpus_to_spark, make_corpus
+
+    docs = corpus_to_spark(spark, make_corpus(120, 7)).cache()
+    docs.count()
+    results = {}
+    for n_batches in (1, 3):
+        src = str(tmp_path / f"src{n_batches}")
+        work = str(tmp_path / f"w{n_batches}")
+        parts = docs.withColumn(
+            "_b", (F.xxhash64("url") % n_batches + n_batches) % n_batches
+        )
+        for b in range(n_batches):
+            parts.filter(F.col("_b") == b).drop("_b").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_near_dups(stream, work, threshold=0.7, config=config)
+        results[n_batches] = {
+            tuple(sorted((r.url_a, r.url_b)))
+            for r in spark.read.parquet(f"{work}/pairs").collect()
+        }
+    assert results[1] == results[3]
+    assert len(results[1]) > 0  # the corpus plants real near-dups
