@@ -143,11 +143,14 @@ def _band_keys_numpy(
 def _pack_band_keys(bits: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     """(n, n_bits) bool sign matrix -> (n, bands) band-mixed int64 keys."""
     weights = np.uint64(1) << np.arange(rows_per_band, dtype=np.uint64)
+    # uint64 wraparound is the point of the multiply-mix; array arithmetic
+    # wraps silently (a numpy-scalar multiply raises RuntimeWarning)
+    mixes = np.arange(bands, dtype=np.uint64) * _BAND_MIX
     keys = np.empty((len(bits), bands), dtype=np.int64)
     for b in range(bands):
         block = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
         packed = (block.astype(np.uint64) * weights[None, :]).sum(axis=1)
-        keys[:, b] = (packed ^ (np.uint64(b) * _BAND_MIX)).view(np.int64)
+        keys[:, b] = (packed ^ mixes[b]).view(np.int64)
     return keys
 
 
