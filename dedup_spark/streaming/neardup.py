@@ -110,6 +110,55 @@ def batch_near_dups_vs_index(
     return pairs, feats
 
 
+def process_near_dup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    work_dir: str,
+    threshold: float = 0.7,
+    config: DedupConfig = DEFAULT_CONFIG,
+    max_shingle_df: int | None = None,
+) -> None:
+    """One foreachBatch step, REPLAY-IDEMPOTENT (pinned in test_streaming).
+
+    foreachBatch is at-least-once: after a mid-batch failure the batch
+    replays, and a plain append would double-write — duplicate index rows
+    then multiply the verify join and emit duplicate pairs. Two rules make
+    the replay exact instead:
+
+    1. Each batch owns a `batch_id=N` partition directory written with
+       overwrite, so a replay replaces its own output (the idempotent-sink
+       pattern; with Iceberg the same contract comes from an overwrite
+       commit keyed by batch_id).
+    2. The index read filters `batch_id < N` — a retried batch never joins
+       against its own partial previous output, and partition pruning means
+       a half-written `batch_id=N` directory's files are never even opened.
+
+    Readers of the parent dirs see batch_id as a discovered partition
+    column; all consumers select columns explicitly.
+    """
+    index_dir = os.path.join(work_dir, "index")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    spark = batch_df.sparkSession
+    index = (
+        spark.read.schema(_FEATS)
+        .parquet(index_dir)
+        .filter(F.col("batch_id") < F.lit(batch_id))
+        .drop("batch_id")
+        if os.path.isdir(index_dir)
+        else None
+    )
+    pairs, feats = batch_near_dups_vs_index(
+        batch_df, index, threshold=threshold, config=config,
+        max_shingle_df=max_shingle_df,
+    )
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(pairs_dir, f"batch_id={batch_id}")
+    )
+    feats.write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"batch_id={batch_id}")
+    )
+
+
 def run_stream_near_dups(
     stream: DataFrame,
     work_dir: str,
@@ -119,25 +168,17 @@ def run_stream_near_dups(
 ) -> None:
     """Drain `stream` (input_hint pages) with an availableNow foreachBatch:
     per micro-batch, emit verified near-dup pairs of that batch against
-    everything seen so far, then append the batch's shingle feats to the
-    index. Outputs: `{work_dir}/pairs` parquet; index at `{work_dir}/index`.
+    everything seen so far, then add the batch's shingle feats to the
+    index. Outputs: `{work_dir}/pairs` parquet; index at `{work_dir}/index`
+    (both batch_id=N-partitioned; see process_near_dup_batch for the
+    replay-idempotence contract).
     """
-    index_dir = os.path.join(work_dir, "index")
-    pairs_dir = os.path.join(work_dir, "pairs")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        index = (
-            spark.read.schema(_FEATS).parquet(index_dir)
-            if os.path.isdir(index_dir)
-            else None
-        )
-        pairs, feats = batch_near_dups_vs_index(
-            batch_df, index, threshold=threshold, config=config,
+        process_near_dup_batch(
+            batch_df, batch_id, work_dir, threshold=threshold, config=config,
             max_shingle_df=max_shingle_df,
         )
-        pairs.write.mode("append").parquet(pairs_dir)
-        feats.write.mode("append").parquet(index_dir)
 
     q = (
         stream.writeStream.foreachBatch(_process)

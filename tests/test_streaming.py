@@ -334,6 +334,51 @@ def test_foreachbatch_near_dup_matches_batch(spark, config, tmp_path):
     assert len(got) == len(set(got))  # no pair emitted twice
 
 
+def test_foreachbatch_replay_is_idempotent(spark, config, tmp_path):
+    """foreachBatch is at-least-once: a retried micro-batch must REPLACE its
+    own output, not double-append (a doubled index row would multiply the
+    verify join and emit duplicate pairs). Pins process_near_dup_batch's
+    batch_id=N-overwrite layout + the batch_id < N index filter."""
+    import datetime
+
+    from dedup_spark.streaming.neardup import process_near_dup_batch
+
+    work = str(tmp_path / "w")
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string"
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b0 = [("u1", ts, None, base, "en", "s"),
+          ("u2", ts, None, base + " lambda", "en", "s")]
+    b1 = [("u3", ts, None, base, "en", "s")]
+    d0 = spark.createDataFrame(b0, schema)
+    d1 = spark.createDataFrame(b1, schema)
+    process_near_dup_batch(d0, 0, work, threshold=0.7, config=config)
+    process_near_dup_batch(d1, 1, work, threshold=0.7, config=config)
+
+    def snap():
+        pairs = sorted(
+            (r.url_a, r.url_b, r.jaccard)
+            for r in spark.read.parquet(f"{work}/pairs").collect()
+        )
+        idx = sorted(
+            r.url for r in spark.read.parquet(f"{work}/index").collect()
+        )
+        return pairs, idx
+
+    before = snap()
+    assert {(p[0], p[1]) for p in before[0]} == {
+        ("u1", "u2"), ("u1", "u3"), ("u2", "u3")
+    }
+    assert before[1] == ["u1", "u2", "u3"]
+    # the at-least-once retry: batch 1 runs again after its outputs already
+    # landed — pairs and index must be IDENTICAL afterwards
+    process_near_dup_batch(d1, 1, work, threshold=0.7, config=config)
+    assert snap() == before
+
+
 def test_foreachbatch_max_shingle_df_drops_boilerplate(spark, config, tmp_path):
     """With a batch-df cap, a boilerplate shingle shared by many docs stops
     generating candidates, while genuine near-dups still pair."""
