@@ -82,7 +82,14 @@ def spill(df: DataFrame, config: DedupConfig, name: str) -> DataFrame:
     Spill dirs are registered for removal at interpreter exit (they must
     outlive the run: returned DataFrames lazily re-read them), so repeated
     runs in one process no longer accumulate dead parquet on disk forever.
+
+    config.spill_mode == "cache" switches to plain .persist() — the small-
+    corpus mode (see DedupConfig): at driver scale the four parquet barriers
+    are ~half the pipeline wall, while tiny cached frames cost nothing. The
+    first consumer materializes the cache; results are identical.
     """
+    if config.spill_mode == "cache":
+        return df.persist()
     return spill_path(df, name, config.spill_dir)
 
 

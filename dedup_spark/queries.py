@@ -32,7 +32,12 @@ from dedup_spark.operators.curation import (
 )
 from dedup_spark.operators.lsh import lsh_candidate_pairs
 
-CFG = DedupConfig()
+# The contract layer always runs at driver SFs (<=5,000 docs): spill_mode
+# "cache" replaces each parquet spill barrier with .persist(), cutting ~4 s
+# of fixed write+read overhead from an ~8 s sf0.1 pipeline run. Scale runs
+# (scale_bench.py, jobs/) build their own DedupConfig and keep the parquet
+# default — see DedupConfig.spill_mode for the measured tradeoff.
+CFG = DedupConfig(spill_mode="cache")
 
 # documents text is already whitespace-normalized lowercase, but all queries
 # normalize anyway: the contract is a pure function of raw text.
