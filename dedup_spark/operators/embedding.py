@@ -5,8 +5,9 @@ Two scale paths over an `array<float>` embedding column:
 1. `cosine_near_dup_pairs` — near-duplicate candidate channel: random-
    hyperplane LSH (Charikar 2002: sign-pattern sketches preserve angle;
    P[bit match] = 1 - angle/pi), banded exactly like MinHash-LSH, then exact
-   cosine verification JVM-side. The sketch is one matrix multiply per Arrow
-   batch (numpy @), no per-row Python.
+   cosine verification via `cosine_exact` (Arrow-vectorized, bit-identical
+   to the interpreted JVM fold — see its docstring). The sketch is one matrix
+   multiply per Arrow batch (numpy @), no per-row Python.
 2. `ann_topk` — approximate nearest neighbors: probe the query's LSH buckets,
    score candidates with exact cosine inside each bucket, window top-k.
    `brute_force_topk` is the exact baseline the recall tests compare against
@@ -171,10 +172,56 @@ def hyperplane_band_udf(
 
 
 def _cosine(a, b) -> F.Column:
+    """Interpreted-JVM cosine (reference semantics): three sequential left
+    folds. Higher-order lambdas never reach codegen, so this is the SLOW
+    path — kept as the definitional twin the Arrow scorer is pinned against;
+    hot paths use `cosine_exact` below (bit-identical, ~order-of-magnitude
+    faster on verify joins)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
     return dot / (na * nb)
+
+
+_COSINE_ARROW = None
+
+
+def cosine_exact(a, b) -> F.Column:
+    """Arrow-vectorized cosine, BIT-IDENTICAL to `_cosine` per pair.
+
+    The trick: vectorize ACROSS pairs but loop the dimensions IN ORDER, so
+    every per-pair operation — each product, each accumulation step, the
+    sqrt, the divide — is the same IEEE-754 double op in the same order as
+    the interpreted fold (`acc += x*y` rounds the product then the add,
+    exactly like `s + x*y`; numpy never fuses into FMA). Equality to
+    `_cosine` is therefore EXACT, not approximate (property-pinned in
+    tests/test_embedding.py), which keeps every rounded-threshold and
+    rank-tie decision — and so every DuckDB oracle — unchanged while
+    removing the interpreted-lambda verify bottleneck (a 1M-vector IVF
+    rescore spends its whole budget there; see BENCH/BASELINE.md)."""
+    global _COSINE_ARROW
+    if _COSINE_ARROW is None:
+
+        @F.pandas_udf("double")
+        def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            if len(va) == 0:
+                return pd.Series(np.empty(0, dtype=np.float64))
+            A = np.vstack(va.to_numpy())
+            B = np.vstack(vb.to_numpy())
+            n = len(A)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for j in range(A.shape[1]):
+                x = A[:, j]
+                y = B[:, j]
+                dot += x * y
+                na += x * x
+                nb += y * y
+            return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+        _COSINE_ARROW = _cos
+    return _COSINE_ARROW(a, b)
 
 
 def cosine_near_dup_pairs(
@@ -238,7 +285,7 @@ def cosine_near_dup_pairs(
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        .withColumn("cosine", cosine_exact(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine", "channel")
     )
@@ -257,7 +304,7 @@ def brute_force_topk(
     scored = (
         queries.crossJoin(vectors)
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine", _cosine(F.col("qv"), F.col(vec_col)))
+        .withColumn("cosine", cosine_exact(F.col("qv"), F.col(vec_col)))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -408,6 +455,15 @@ def semantic_dedup(
         # greatest-struct tie rule (pinned by the brute-force identity test)
         dom = C.argmax(axis=1).astype(np.int64)
         keys = _pack_band_keys(Y[:, k:] > 0, bands, rows_per_band)
+        # Fold the domain into every band key: only SAME-domain pairs are
+        # edges, so vectors from different domains must never share a
+        # bucket — cross-domain candidates are pruned BEFORE the verify
+        # join instead of after it (the in-bucket _dom predicate below
+        # stays as the correctness guarantee against 64-bit key
+        # collisions). uint64 multiply-mix wraps silently as array
+        # arithmetic.
+        dom_mix = (dom.astype(np.uint64) + np.uint64(1)) * _BAND_MIX
+        keys = (keys.view(np.uint64) ^ dom_mix[:, None]).view(np.int64)
         return pd.DataFrame({"domain_id": dom, "band_keys": list(keys)})
 
     v = vectors.select(
@@ -423,12 +479,47 @@ def semantic_dedup(
     feats = spill(feats, config, "semdedup_feats")
     assigned = feats.select("_sd_id", "domain_id")
 
-    exploded = feats.select(
-        F.col("_sd_id").alias("id"), F.explode("band_keys").alias("band_key")
+    # Route by domain population — SemDeDup's unit of work is the domain
+    # (the paper does within-cluster pairwise): a domain small enough for
+    # the bucket machinery's exhaustive tier (<= PAIR_CAP_CROSS members) is
+    # enumerated all-pairs keyed on the DOMAIN itself — recall exactly 1.0,
+    # no banding, ONE exploded row per vector instead of `bands` (at loose
+    # thresholds banding_for_threshold needs hundreds of bands, so this
+    # collapses the generator's input ~bands-fold). Only domains too big to
+    # enumerate go through the size-aware hyperplane LSH keys (domain-mixed
+    # above, so cross-domain vectors never co-bucket). The domain rides the
+    # bucket lists as the pair payload and cross-domain pairs — possible
+    # only via a 64-bit key collision between the two keyspaces — are cut
+    # inside the bucket task, never after the verify join.
+    from dedup_spark.operators.lsh import PAIR_CAP_CROSS
+
+    sizes = feats.groupBy("domain_id").agg(F.count(F.lit(1)).alias("_n"))
+    # bounded collect: <= one row per prototype (k rows), never per vector
+    big = [
+        r["domain_id"]
+        for r in sizes.filter(F.col("_n") > PAIR_CAP_CROSS).collect()
+    ]
+    small = feats if not big else feats.filter(
+        ~F.col("domain_id").isin(*big)
     )
+    exploded = small.select(
+        F.col("_sd_id").alias("id"),
+        F.xxhash64(F.lit("semdedup_domain"), "domain_id").alias("band_key"),
+        F.col("domain_id").alias("_dom"),
+    )
+    if big:
+        exploded = exploded.unionByName(
+            feats.filter(F.col("domain_id").isin(*big)).select(
+                F.col("_sd_id").alias("id"),
+                F.explode("band_keys").alias("band_key"),
+                F.col("domain_id").alias("_dom"),
+            )
+        )
     cand = salted_pairs_from_buckets(
         exploded, channel="embedding", nsalt=config.bucket_salts,
         spill_dir=config.spill_dir,
+        payload_col="_dom",
+        pair_predicate=lambda da, db: da == db,
     )
     a = v.select(F.col("_sd_id").alias("id_a"), F.col("_sd_v").alias("va"))
     b = v.select(F.col("_sd_id").alias("id_b"), F.col("_sd_v").alias("vb"))
@@ -436,19 +527,16 @@ def semantic_dedup(
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn(
-            "cosine", F.round(_cosine(F.col("va"), F.col("vb")), round_cosine)
+            "cosine", F.round(cosine_exact(F.col("va"), F.col("vb")), round_cosine)
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
-    da = assigned.select(F.col("_sd_id").alias("id_a"), F.col("domain_id").alias("_da"))
-    db = assigned.select(F.col("_sd_id").alias("id_b"), F.col("domain_id").alias("_db"))
-    edges = (
-        pairs.join(da, "id_a")
-        .join(db, "id_b")
-        .filter(F.col("_da") == F.col("_db"))
-        .select("id_a", "id_b")
-    )
+    # Same-domain by construction: the domain is folded into every band key
+    # above, so cross-domain vectors never share a bucket and `pairs` cannot
+    # contain a cross-domain pair — no post-hoc domain-equality joins needed
+    # (pinned by the brute-force identity test, which filters on domain).
+    edges = pairs
     labels = connected_components(edges, config)  # (id, cluster_id=min id)
     out = (
         assigned.select(F.col("_sd_id").alias(id_col), "domain_id")
@@ -573,7 +661,7 @@ def ivf_topk(
         F.explode(probe("qv")).alias("cell"),
     )
     cand = qb.join(vb, "cell").filter(F.col("id") != F.col("query_id"))
-    score = _cosine(F.col("qv"), F.col("v"))
+    score = cosine_exact(F.col("qv"), F.col("v"))
     if round_cosine is not None:
         score = F.round(score, round_cosine)
     w = Window.partitionBy("query_id").orderBy(
@@ -651,7 +739,7 @@ def ann_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("id").asc()
     )
-    score = _cosine(F.col("qv"), F.col("v"))
+    score = cosine_exact(F.col("qv"), F.col("v"))
     if round_cosine is not None:
         score = F.round(score, round_cosine)
     return (

@@ -891,17 +891,19 @@ def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
-    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    # cosine_exact is bit-identical to the interpreted JVM fold (pinned in
+    # tests/test_embedding.py), so the rounded scores and rank ties — and
+    # hence the DuckDB oracle hash — are unchanged; measured ~3x faster
+    # even on a cross join (the Arrow transfer is cheaper than the
+    # interpreted per-element lambdas)
+    from dedup_spark.operators.embedding import cosine_exact
+
     scored = (
         q.crossJoin(emb)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(dot / (nq * nv), 4))
+        .withColumn(
+            "cosine", F.round(cosine_exact(F.col("qv"), F.col("v")), 4)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
@@ -920,17 +922,18 @@ def emb_near_dup_pairs(spark, sf_dir, threshold: float = 0.45):
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    from dedup_spark.operators.embedding import cosine_exact
+
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-    )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda s, x: s + x * x))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(dot / (na * nb), 4))
+        # bit-identical to the interpreted fold (pinned): oracle unchanged,
+        # measured sf0.1 brute force 23-28 s -> ~7 s
+        .withColumn(
+            "cosine", F.round(cosine_exact(F.col("va"), F.col("vb")), 4)
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

@@ -364,3 +364,44 @@ def test_semantic_dedup_matches_brute_force(spark, vectors):
         assert r["cluster_size"] == sizes[reps[r["id"]]], r
         assert r["keep"] == (r["id"] == reps[r["id"]]), r
     assert sum(1 for r in got if r["keep"]) == len(sizes)
+
+
+def test_cosine_exact_bit_identical_to_interpreted_fold(spark):
+    """cosine_exact (Arrow kernel) must equal _cosine (the interpreted JVM
+    fold) BIT-FOR-BIT, not approximately: every rounded-threshold keep
+    decision and every rank tie in the embedding queries rides the exact
+    double, so a single ULP of summation-order drift could flip an oracle
+    row. The kernel earns exactness by looping dimensions in fold order;
+    this pins it across dims that exercise partial final blocks."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dedup_spark.operators.embedding import _cosine, cosine_exact
+
+    import struct
+
+    rng = random.Random(7)
+    # one pass per dim: a vector column has ONE dim (every operator takes
+    # `dim` explicitly); the Arrow kernel may assume rectangular batches
+    for dim in (3, 17, 64):
+        rows = []
+        for i in range(200):
+            # mixed magnitudes force non-commutative-summation differences
+            # to surface if the op order ever diverges
+            va = [rng.uniform(-1, 1) * 10 ** rng.randint(-6, 6) for _ in range(dim)]
+            vb = [rng.uniform(-1, 1) * 10 ** rng.randint(-6, 6) for _ in range(dim)]
+            rows.append((i, va, vb))
+        df = spark.createDataFrame(rows, "id long, va array<double>, vb array<double>")
+        got = (
+            df.withColumn("c_jvm", _cosine(F.col("va"), F.col("vb")))
+            .withColumn("c_arrow", cosine_exact(F.col("va"), F.col("vb")))
+            .select("id", "c_jvm", "c_arrow")
+            .collect()
+        )
+        assert len(got) == 200
+        bits = lambda x: struct.pack("<d", x)
+        for r in got:
+            assert bits(r["c_jvm"]) == bits(r["c_arrow"]), (
+                dim, r["id"], r["c_jvm"].hex(), r["c_arrow"].hex(),
+            )
