@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from dedup_spark.functions.text import _STOPWORDS, tokens
+from dedup_spark.functions.text import _STOPWORDS, token_count, tokens
 
 
 def quality_filter(
@@ -828,4 +828,160 @@ def containment_pairs(
         .withColumn("_c", inter.cast("double") / denom)
         .filter(F.col("_c") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("_c", 4).alias("containment"))
+    )
+
+
+def dedup_weights(
+    docs: DataFrame,
+    members: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+) -> DataFrame:
+    """Soft dedup: keep EVERY document but weight it 1/cluster_size, so a
+    page crawled 500 times contributes one page's worth of gradient — the
+    duplication-aware sampling weight pipelines use when hard dedup is too
+    lossy (boilerplate variants can carry unique tails) or when the mixing
+    stage wants to re-decide retention downstream of dedup.
+
+    `members` is the (id, label) output of the dedup pipeline (docs absent
+    from it are singletons — the c11/leakage_safe_split convention). Output:
+    (id, cluster_id, cluster_size, weight) for every input doc, with
+    weight = 1.0 / cluster_size left UNROUNDED — a single IEEE division of
+    1.0 by an exact integer is bit-reproducible across engines (the
+    n7/c2 unrounded-division precedent; rounding would actually HURT parity
+    because 1/32 = 0.03125 ties at the 5th decimal and Spark and DuckDB
+    break round-half ties differently).
+
+    Plan (100 TB shape): cluster sizes come from ONE window over the
+    members table keyed by the cluster label — members carries only
+    duplicate docs, typically a small fraction of the corpus — then ONE
+    left equi-join back to the corpus on the 8-byte id (AQE broadcasts the
+    weighted members table when it fits). Singleton docs never shuffle;
+    no window ever sees the full corpus.
+    """
+    m = members.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl")
+    )
+    m = m.select(
+        "_id",
+        "_lbl",
+        F.count(F.lit(1)).over(Window.partitionBy("_lbl")).alias("_n"),
+    )
+    lbl = F.coalesce(F.col("_lbl"), F.col(id_col)).cast("long")
+    n = F.coalesce(F.col("_n"), F.lit(1)).cast("long")
+    return (
+        docs.select(id_col)
+        .join(m, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            F.col(id_col),
+            lbl.alias(label_col),
+            n.alias("cluster_size"),
+            (F.lit(1.0) / n).alias("weight"),
+        )
+    )
+
+
+def source_cap_sample(
+    docs: DataFrame,
+    cap: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-source quota selection: keep at most `cap` documents per source,
+    ranked by (n_tokens DESC, id ASC) — the anti-dominance pass web corpora
+    run so one template-heavy host/dump cannot drown the mixture (the
+    host-cap rule in Common-Crawl-derived pipelines), with a deterministic
+    integer ordering any engine reproduces bit-exactly (no RNG, no floats).
+
+    Output: (id, source, n_tokens, rank) for the kept docs, rank 1..cap
+    within source.
+
+    Plan (100 TB shape): a single window keyed by source funnels every doc
+    of a hot source through one task (the pack_tokens lesson), so this runs
+    two-phase top-K instead: phase 1 ranks within (source, id % n_salts)
+    and keeps at most `cap` rows per salt — any global top-cap row is
+    preceded in its own salt group by a subset of the rows that precede it
+    source-wide, so it survives phase 1 (the ordering is total, making the
+    composition EXACT, not approximate) — then phase 2 ranks the
+    <= n_salts*cap survivors per source, bounding the final task at
+    n_salts*cap rows no matter how hot the source. Identity to the
+    single-window plan is property-pinned in tests/test_curation.py.
+    """
+    ranked = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    order = [F.col("n_tokens").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(
+        source_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("_salt")
+    ).orderBy(*order)
+    survivors = (
+        ranked.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= cap)
+    )
+
+
+def cross_source_dup_matrix(
+    members: DataFrame,
+    label_col: str = "cluster_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair (a <= b), how
+    many duplicate-document pairs straddle them — the corpus-provenance
+    report that answers "which dumps/feeds are copying which" (syndication,
+    mirror detection, re-crawl overlap) before deciding what to drop.
+
+    Input: the pipeline members table joined with each doc's source —
+    (id, cluster_id, source). Pair counts are derived purely from
+    per-(cluster, source) COUNTS, never from an enumerated pair table:
+    a cluster with n_a docs from a and n_b from b contributes n_a*n_b
+    cross pairs (or n*(n-1)/2 within a source) — integer arithmetic only.
+    Output: (source_a, source_b, n_dup_pairs, n_clusters) with
+    source_a <= source_b; zero-pair cells are omitted.
+
+    Plan (100 TB shape): ONE map-side-combining groupBy collapses the
+    members table to (cluster, source) counts — output bounded by
+    clusters x sources, orders of magnitude below the corpus — then a
+    self-equi-join keyed by the cluster label and a final |sources|^2-sized
+    aggregation. The corpus-sized table is touched once; no windows, no
+    pair explosion (a 10^6-copy boilerplate cluster is ONE counts row per
+    source, not 10^12 pairs).
+    """
+    counts = members.groupBy(
+        F.col(label_col).alias("_l"), F.col(source_col).alias("_src")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    a = counts.select(
+        "_l", F.col("_src").alias("source_a"), F.col("_n").alias("_na")
+    )
+    b = counts.select(
+        F.col("_l").alias("_l2"),
+        F.col("_src").alias("source_b"),
+        F.col("_n").alias("_nb"),
+    )
+    pair_cnt = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.expr("_na * (_na - 1) div 2"),
+    ).otherwise(F.col("_na") * F.col("_nb"))
+    return (
+        a.join(
+            b,
+            (F.col("_l") == F.col("_l2"))
+            & (F.col("source_a") <= F.col("source_b")),
+        )
+        .withColumn("_pairs", pair_cnt.cast("long"))
+        .filter(F.col("_pairs") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("_pairs").cast("long").alias("n_dup_pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        )
     )

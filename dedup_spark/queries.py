@@ -882,6 +882,49 @@ def c11_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(_docs(spark, sf_dir), members)
 
 
+def _members(spark, sf_dir):
+    """Pipeline cluster labels as (doc_id, cluster_id) longs (c11's shape)."""
+    from dedup_spark.plans.pipeline import run_dedup
+
+    return run_dedup(documents_as_pages(spark, sf_dir), CFG).members.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+# C14: soft dedup — every doc kept, weighted 1/cluster_size (duplication-
+# aware sampling weights). Graded by the same recursive-CTE closure oracle
+# as the pipeline; the weight is an UNROUNDED single IEEE division (see
+# operators/curation.dedup_weights for why rounding would hurt parity).
+def c14_dedup_weights(spark, sf_dir):
+    from dedup_spark.operators.curation import dedup_weights
+
+    return dedup_weights(_docs(spark, sf_dir), _members(spark, sf_dir))
+
+
+# C15: per-source quota selection (host-cap analogue) — keep at most 15 docs
+# per source by (n_tokens DESC, doc_id ASC); two-phase salted top-K so no
+# task ever ranks a whole hot source. Driver corpora have 20 uniform
+# 25-doc sources (250 at sf0.1), so the cap genuinely bites at every SF.
+def c15_source_cap_sample(spark, sf_dir):
+    from dedup_spark.operators.curation import source_cap_sample
+
+    return source_cap_sample(_docs(spark, sf_dir), cap=15)
+
+
+# N13: cross-source duplication matrix — dup-pair counts between source
+# pairs, derived from (cluster, source) COUNTS only (never an enumerated
+# pair table). Closure-oracled like n11, so it re-grades the clustering
+# through yet another projection (a CC merge/split bug moves this matrix).
+def n13_cross_source_dup_matrix(spark, sf_dir):
+    from dedup_spark.operators.curation import cross_source_dup_matrix
+
+    with_src = _members(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    )
+    return cross_source_dup_matrix(with_src)
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
@@ -1243,6 +1286,9 @@ QUERIES = {
     "c10_repetition_signals": c10_repetition_signals,
     "c11_leakage_safe_split": c11_leakage_safe_split,
     "c13_token_rarity": c13_token_rarity,
+    "c14_dedup_weights": c14_dedup_weights,
+    "c15_source_cap_sample": c15_source_cap_sample,
+    "n13_cross_source_dup_matrix": n13_cross_source_dup_matrix,
     "pipeline_end_to_end": pipeline_end_to_end,
     "n11_cluster_size_histogram": n11_cluster_size_histogram,
     "n12_containment_pairs": n12_containment_pairs,
@@ -1456,6 +1502,18 @@ ORACLE = {
                coalesce(per.n_distinct, 0)::BIGINT AS n_distinct_tokens,
                round(per.s / per.n_distinct::DOUBLE, 4) AS avg_token_df
         FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+    "c15_source_cap_sample": f"""
+        SELECT doc_id, source, n_tokens, rank FROM (
+          SELECT doc_id, source, n_tokens,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY n_tokens DESC, doc_id ASC
+                 )::BIGINT AS rank
+          FROM (SELECT doc_id, source,
+                       (case when {_NORM} = '' then 0
+                             else len({_WORDS}) end)::BIGINT AS n_tokens
+                FROM documents)
+        ) WHERE rank <= 15
     """,
     "f_quality": rf"""
         WITH base AS (
@@ -1674,6 +1732,35 @@ ORACLE = {
                          % 65536 < {split_thresholds()[1]} THEN 'val'
                     ELSE 'train' END AS split
         FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id"""
+    ),
+    "c14_dedup_weights": _pipeline_oracle_sql(
+        final_select="""
+        SELECT d.doc_id,
+               coalesce(l.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+               coalesce(cs.n, 1)::BIGINT AS cluster_size,
+               1.0::DOUBLE / coalesce(cs.n, 1) AS weight
+        FROM documents d
+        LEFT JOIN labels l ON l.doc_id = d.doc_id
+        LEFT JOIN (SELECT cluster_id, count(*)::BIGINT AS n
+                   FROM labels GROUP BY cluster_id) cs
+          ON cs.cluster_id = l.cluster_id"""
+    ),
+    "n13_cross_source_dup_matrix": _pipeline_oracle_sql(
+        final_select="""
+        SELECT a.source_a, b.source_b,
+               sum(CASE WHEN a.source_a = b.source_b
+                        THEN (a.n * (a.n - 1)) // 2
+                        ELSE a.n * b.n END)::BIGINT AS n_dup_pairs,
+               count(*)::BIGINT AS n_clusters
+        FROM (SELECT l.cluster_id, d.source AS source_a, count(*)::BIGINT AS n
+              FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+              GROUP BY 1, 2) a
+        JOIN (SELECT l.cluster_id, d.source AS source_b, count(*)::BIGINT AS n
+              FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+              GROUP BY 1, 2) b
+          ON a.cluster_id = b.cluster_id AND a.source_a <= b.source_b
+        WHERE NOT (a.source_a = b.source_b AND a.n < 2)
+        GROUP BY 1, 2"""
     ),
     "n9_checkpoint_resume": _pipeline_oracle_sql(
         """,

@@ -464,3 +464,90 @@ def test_containment_pairs_matches_brute_force_random(spark):
         for r in containment_pairs(df, threshold=t).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_dedup_weights_sum_equals_cluster_count(spark):
+    from dedup_spark.operators.curation import dedup_weights
+
+    docs = _docs(
+        spark,
+        [(i, f"doc {i}") for i in range(8)],
+    )
+    # clusters: {0,1,2}, {3,4}; 5,6,7 singletons (absent from members)
+    members = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3)],
+        "doc_id long, cluster_id long",
+    )
+    out = dedup_weights(docs, members).toPandas().set_index("doc_id")
+    assert len(out) == 8
+    assert out.loc[1, "cluster_size"] == 3
+    assert out.loc[1, "weight"] == 1.0 / 3
+    assert out.loc[4, "cluster_size"] == 2
+    assert out.loc[6, "cluster_size"] == 1 and out.loc[6, "weight"] == 1.0
+    assert out.loc[6, "cluster_id"] == 6  # singleton labeled by own id
+    # soft-dedup invariant: weights sum to the number of clusters
+    assert abs(out["weight"].sum() - (2 + 3)) < 1e-12
+
+
+def test_source_cap_sample_matches_single_window(spark):
+    from dedup_spark.operators.curation import source_cap_sample
+
+    # 3 sources with skewed sizes and heavy n_tokens ties (forces the
+    # doc_id tie-break through both phases)
+    rows = []
+    did = 0
+    for src, n in [("a", 57), ("b", 5), ("c", 1)]:
+        for i in range(n):
+            rows.append((did, "tok " * ((i % 4) + 1), src))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = (
+        source_cap_sample(df, cap=10, n_salts=4)
+        .orderBy("source", "rank")
+        .toPandas()
+    )
+    # reference: plain single-window top-K in pandas
+    import pandas as pd
+
+    ref = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    ref["n_tokens"] = ref["text"].str.split().map(len)
+    ref = ref.sort_values(
+        ["source", "n_tokens", "doc_id"], ascending=[True, False, True]
+    )
+    ref["rank"] = ref.groupby("source").cumcount() + 1
+    ref = ref[ref["rank"] <= 10][["doc_id", "source", "n_tokens", "rank"]]
+    ref = ref.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "source", "n_tokens", "rank"]].reset_index(drop=True),
+        ref,
+        check_dtype=False,
+    )
+    assert (got.groupby("source").size() <= 10).all()
+
+
+def test_cross_source_dup_matrix_hand_values(spark):
+    from dedup_spark.operators.curation import cross_source_dup_matrix
+
+    # cluster 0: 2 docs from a + 3 from b -> aa 1, ab 6, bb 3 pairs
+    # cluster 9: 1 a + 1 c -> ac 1 pair; singleton (cluster 20, 1 b) -> none
+    members = spark.createDataFrame(
+        [
+            (0, 0, "a"), (1, 0, "a"),
+            (2, 0, "b"), (3, 0, "b"), (4, 0, "b"),
+            (9, 9, "a"), (10, 9, "c"),
+            (20, 20, "b"),
+        ],
+        "doc_id long, cluster_id long, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_dup_pairs"], r["n_clusters"])
+        for r in cross_source_dup_matrix(members).collect()
+    }
+    assert out == {
+        ("a", "a"): (1, 1),
+        ("a", "b"): (6, 1),
+        ("b", "b"): (3, 1),
+        ("a", "c"): (1, 1),
+    }
+    # total pairs across cells == sum over clusters of C(size, 2)
+    assert sum(v[0] for v in out.values()) == 10 + 1
