@@ -89,6 +89,9 @@ def main() -> None:
         "c9_pii_redact",
         "c10_repetition_signals",
         "c13_token_rarity",
+        "c14_dedup_weights",
+        "c15_source_cap_sample",
+        "n13_cross_source_dup_matrix",
     ]
 
     timings: dict[str, float] = {}

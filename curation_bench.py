@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""At-size measurement for the round-4 curation operators (c8/c9/c10).
+"""At-size measurement for the round-4 curation operators (c8/c9/c10,
+c14/c15/n13).
 
 The driver's sf0.1 table (5,000 docs) measures fixed cost only; these three
 operators move token/segment streams, so their scale behavior is measured at
@@ -40,7 +41,8 @@ from pyspark.sql import functions as F
 from dedup_spark.config import DedupConfig
 from dedup_spark.session import build_session
 from dedup_spark.operators.curation import (
-    dedup_segments, redact_pii, repetition_signals,
+    cross_source_dup_matrix, dedup_segments, dedup_weights, redact_pii,
+    repetition_signals, source_cap_sample,
 )
 shm = f"/dev/shm/curation_bench_{op}"
 os.makedirs(shm, exist_ok=True)
@@ -50,13 +52,30 @@ spark = build_session("curation_bench", master=f"local[{cores}]", config=config,
                       extra_conf={"spark.local.dir": shm})
 spark.sparkContext.setLogLevel("ERROR")
 docs = spark.read.parquet(path).select(
-    F.xxhash64("url").alias("doc_id"), "text")
+    F.xxhash64("url").alias("doc_id"), "text", "source")
 n_docs = docs.count()  # warms the scan, outside the timed window
+
+
+def _members(d):
+    # synthetic cluster labels for the members-consuming ops: 20% of the
+    # corpus, ~4 docs per cluster (deterministic pmod grouping) — measures
+    # the OPERATOR's window/join cost, not the upstream pipeline's
+    return d.filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(max(n_docs // 20, 1))).alias("cluster_id"),
+        "source",
+    )
+
+
 OPS = {
     "c8_segment_dedup": lambda d: dedup_segments(d),
     "c9_pii_redact": lambda d: redact_pii(d),
     "c10_repetition_signals": lambda d: repetition_signals(d),
     "c10_relational": lambda d: repetition_signals(d, fused=False),
+    "c14_dedup_weights": lambda d: dedup_weights(d, _members(d)),
+    "c15_source_cap_sample": lambda d: source_cap_sample(d, cap=1000),
+    "n13_cross_source_dup_matrix": lambda d: cross_source_dup_matrix(
+        _members(d)),
 }
 out = f"{shm}/out"
 # tiny untimed warmup: JIT + codegen + shuffle service spin-up

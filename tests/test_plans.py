@@ -324,3 +324,68 @@ def test_repetition_signals_relational_single_token_shuffle(spark):
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert "SortAggregate" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_source_cap_sample_two_phase_no_hot_source_funnel(spark):
+    """source_cap_sample (c15) must never rank a whole hot source in one
+    task: phase 1's Window partitions by (source, _salt) — the full-data
+    pass — and only the cap-bounded survivors reach the bare-source
+    phase-2 Window. Two Windows, two exchanges, nothing else."""
+    from dedup_spark.operators.curation import source_cap_sample
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1), f"s{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    plan = plan_of(source_cap_sample(df, cap=5))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2, plan
+    # the full-data window is salted (the salt alias is inlined as
+    # pmod(xxhash64(id)) in the spec); the bare-source window exists only
+    # above the _r1 <= cap filter
+    salted = re.search(
+        r"windowspecdefinition\(source#\d+, pmod\(xxhash64\(doc_id", plan
+    )
+    assert salted, plan
+    bare = re.search(r"windowspecdefinition\(source#\d+, n_tokens#\d+", plan)
+    assert bare, plan
+    # Spark additionally pushes the rank filter down as WindowGroupLimit on
+    # BOTH phases (partial limit before each exchange): every sort is a
+    # bounded per-task top-K heap, never a full partition sort. Keep that.
+    assert plan.count("WindowGroupLimit") >= 4, plan
+
+
+def test_dedup_weights_single_members_window_no_corpus_shuffle(spark):
+    """dedup_weights (c14) sizes clusters with ONE Window over the small
+    members table; the corpus side contributes only a join (no window, no
+    aggregation over the full corpus)."""
+    from dedup_spark.operators.curation import dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(40)], "doc_id long, text string"
+    )
+    members = spark.createDataFrame(
+        [(i, i % 4) for i in range(16)], "doc_id long, cluster_id long"
+    )
+    plan = plan_of(dedup_weights(docs, members))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert re.search(r"windowspecdefinition\(_lbl#\d+", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cross_source_dup_matrix_counts_only_no_pair_fanout(spark):
+    """cross_source_dup_matrix (n13) derives pair counts from
+    (cluster, source) COUNTS — the plan must contain no Generate (pair
+    explosion) and no cartesian; the self-join is keyed on the cluster
+    label."""
+    from dedup_spark.operators.curation import cross_source_dup_matrix
+
+    members = spark.createDataFrame(
+        [(i, i % 3, f"s{i % 2}") for i in range(24)],
+        "doc_id long, cluster_id long, source string",
+    )
+    plan = plan_of(cross_source_dup_matrix(members))
+    assert "Generate" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
