@@ -925,6 +925,65 @@ def n13_cross_source_dup_matrix(spark, sf_dir):
     return cross_source_dup_matrix(with_src)
 
 
+# CURATION END-TO-END: the full FineWeb-class corpus-curation DAG as ONE
+# oracle-checked query — quality gate (c1 semantics) -> near-dup clustering
+# of the kept docs (the full engine: exact + MinHash-LSH + SimHash ->
+# Jaccard verify -> CC) -> keep-policy representatives -> eval-set
+# decontamination flag (c3 semantics; eval = doc_id % 10 == 0, which is
+# also held out of the curated corpus). One row per quality-kept train doc:
+# its cluster, whether it is the cluster's representative, how many of its
+# shingles leak from the eval benchmark, and the final `selected` decision
+# (representative AND zero eval overlap). Every stage decision compares
+# UNROUNDED values (the c1/n7 precedent); the whole DAG is graded by one
+# recursive-CTE DuckDB oracle that recomputes all three stages from scratch.
+def curation_end_to_end(spark, sf_dir):
+    from dedup_spark.operators.curation import decontaminate, quality_filter
+    from dedup_spark.plans.pipeline import run_dedup, spill
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    kept = quality_filter(train).filter(F.col("keep")).select("doc_id")
+
+    pages = documents_as_pages(spark, sf_dir).withColumn(
+        "_did", F.col("url").cast("long")
+    )
+    kept_pages = pages.join(
+        kept.withColumnRenamed("doc_id", "_did"), "_did"
+    ).drop("_did")
+    members = run_dedup(kept_pages, CFG).members.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("_cid"),
+        F.col("is_representative").alias("_rep"),
+    )
+
+    feats = spill(
+        _doc_features(spark, sf_dir).select("doc_id", "shingle_hashes"),
+        CFG,
+        "ce2e_feats",
+    )
+    cont = decontaminate(
+        feats.join(kept, "doc_id"),
+        feats.filter(F.col("doc_id") % 10 == 0),
+        id_col="doc_id",
+    )
+
+    rep = F.coalesce(F.col("_rep"), F.lit(True))
+    overlap = F.coalesce(
+        F.col("n_contaminated_shingles"), F.lit(0)
+    ).cast("long")
+    return (
+        kept.join(members, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_cid"), F.col("doc_id")).alias("cluster_id"),
+            rep.alias("is_representative"),
+            overlap.alias("n_eval_overlap"),
+            (rep & (overlap == 0)).alias("selected"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search: brute-force cosine top-k (baseline ANN oracle)
 def emb_cosine_topk(spark, sf_dir, n_queries: int = 20, k: int = 5):
@@ -1289,6 +1348,7 @@ QUERIES = {
     "c14_dedup_weights": c14_dedup_weights,
     "c15_source_cap_sample": c15_source_cap_sample,
     "n13_cross_source_dup_matrix": n13_cross_source_dup_matrix,
+    "curation_end_to_end": curation_end_to_end,
     "pipeline_end_to_end": pipeline_end_to_end,
     "n11_cluster_size_histogram": n11_cluster_size_histogram,
     "n12_containment_pairs": n12_containment_pairs,
@@ -1403,6 +1463,97 @@ def _pipeline_oracle_sql(
         {_REACH_CTE},
         labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
         {tail}
+    """
+
+
+def _curation_e2e_oracle_sql() -> str:
+    """One oracle for the whole curation DAG: c1 quality keep (unrounded
+    ratios) -> recursive-CTE near-dup closure over the KEPT docs only ->
+    keep-policy representative -> c3-style eval-shingle overlap. Stage
+    fragments are verbatim re-derivations of the c1 / pipeline / c3 oracles,
+    scoped to the curated subset."""
+    stops = str(sorted(_STOPS["en"]))
+    return rf"""
+        WITH RECURSIVE
+        w AS (
+          SELECT doc_id,
+                 unnest(case when {_NORM} = '' then [] else {_WORDS} end) AS tok
+          FROM documents WHERE doc_id % 10 != 0
+        ),
+        per AS (SELECT doc_id, tok, count(*) AS cnt FROM w GROUP BY doc_id, tok),
+        agg AS (
+          SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+                 max(cnt)::BIGINT AS top_cnt,
+                 sum(CASE WHEN list_contains({stops}, tok)
+                          THEN cnt ELSE 0 END)::BIGINT AS n_stop
+          FROM per GROUP BY doc_id
+        ),
+        kept AS (
+          SELECT d.doc_id, d.text, d.source
+          FROM documents d JOIN agg a USING (doc_id)
+          WHERE d.doc_id % 10 != 0
+            AND a.n_tokens >= 20
+            AND a.top_cnt::DOUBLE / a.n_tokens <= 0.125
+            AND a.n_stop::DOUBLE / a.n_tokens >= 0.01
+        ),
+        sh_all AS (SELECT doc_id, {_shingle_sql(5)} AS s FROM documents),
+        sh AS (SELECT k.doc_id, sa.s FROM kept k JOIN sh_all sa USING (doc_id)),
+        ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        near AS (
+          SELECT doc_a, doc_b
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+          WHERE len(list_intersect(sa.s, sb.s)) /
+                (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE
+                >= 0.7
+        ),
+        nonempty AS (
+          SELECT doc_id, text FROM kept
+          WHERE regexp_replace(text, '\s+', '', 'g') != ''
+        ),
+        exact AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nonempty a JOIN nonempty b
+            ON a.text = b.text AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM near
+          UNION SELECT doc_a, doc_b FROM exact
+        ),
+        edges AS (
+          SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b AS s, doc_a AS d FROM pairs
+        ),
+        {_REACH_CTE},
+        labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        rep AS (
+          SELECT l.doc_id, l.cluster_id,
+                 row_number() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY coalesce(try_cast(regexp_extract(k.source, '(\d+)$', 1) AS INT), 0),
+                            l.doc_id
+                 ) = 1 AS is_rep
+          FROM labels l JOIN kept k ON k.doc_id = l.doc_id
+        ),
+        ev AS (SELECT DISTINCT unnest(s) AS tok FROM sh_all WHERE doc_id % 10 = 0),
+        tr AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        cont AS (
+          SELECT tr.doc_id, count(*)::BIGINT AS n
+          FROM tr JOIN ev USING (tok) GROUP BY tr.doc_id
+        )
+        SELECT k.doc_id,
+               coalesce(r.cluster_id, k.doc_id)::BIGINT AS cluster_id,
+               coalesce(r.is_rep, TRUE) AS is_representative,
+               coalesce(c.n, 0)::BIGINT AS n_eval_overlap,
+               (coalesce(r.is_rep, TRUE) AND coalesce(c.n, 0) = 0) AS selected
+        FROM kept k
+        LEFT JOIN rep r ON r.doc_id = k.doc_id
+        LEFT JOIN cont c ON c.doc_id = k.doc_id
     """
 
 
@@ -1733,6 +1884,7 @@ ORACLE = {
                     ELSE 'train' END AS split
         FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id"""
     ),
+    "curation_end_to_end": _curation_e2e_oracle_sql(),
     "c14_dedup_weights": _pipeline_oracle_sql(
         final_select="""
         SELECT d.doc_id,
