@@ -80,6 +80,7 @@ def main() -> None:
         "f_lang_id",
         "q1_pricing_summary",
         "q3_top_revenue_orders",
+        "q5_local_supplier_revenue",
         "s9_stream_ingest",
         "s10_stream_first_seen",
         "m1_media_decode",

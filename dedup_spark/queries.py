@@ -1251,6 +1251,45 @@ def q_event_sessions(spark, sf_dir, gap_minutes: int = 30):
     )
 
 
+def q5_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (customer, orders, lineitem, supplier,
+    nation, region) with the LOCAL-supplier predicate (c_nationkey =
+    s_nationkey), region + order-year filters, revenue per nation.
+
+    Scale shape: lineitem (the fact) shuffle-joins orders on the 8-byte
+    orderkey; every other table is a broadcast dim, so the fact stream is
+    shuffled exactly once. The year filter uses year() on the NTZ
+    timestamp — tz-free on both engines (the events.ts precedent)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.year("o_orderdate") == 1996
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 def q3_top_revenue_orders(spark, sf_dir, n: int = 10):
     """Q3-shaped join breadth: customer (broadcast) x orders x lineitem.
 
@@ -1364,6 +1403,7 @@ QUERIES = {
     "q_region_revenue": q_region_revenue,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_local_supplier_revenue": q5_local_supplier_revenue,
 }
 QUERIES = {name: _tuned(fn) for name, fn in QUERIES.items()}
 
@@ -2392,6 +2432,19 @@ ORACLE = {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
+    """,
+    "q5_local_supplier_revenue": """
+        SELECT n.n_name AS nation, count(*) AS n_lineitems,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'AMERICA' AND year(o.o_orderdate) = 1996
+        GROUP BY n.n_name
     """,
     "q_event_sessions": """
         WITH ordered AS (

@@ -65,6 +65,18 @@ def test_star_join_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_q5_broadcasts_all_dims_no_cartesian(spark):
+    """Q5's 6-way join: every dimension is a broadcast join (5 of them) and
+    the local-supplier predicate rides the customer join as an equi-key —
+    no cartesian / nested-loop anywhere."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q5_local_supplier_revenue"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 @pytest.mark.parametrize(
     "name",
     [
