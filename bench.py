@@ -92,6 +92,7 @@ def main() -> None:
         "c13_token_rarity",
         "c14_dedup_weights",
         "c15_source_cap_sample",
+        "c16_bloom_delta",
         "n13_cross_source_dup_matrix",
         "curation_end_to_end",
     ]

@@ -912,6 +912,31 @@ def c15_source_cap_sample(spark, sf_dir):
     return source_cap_sample(_docs(spark, sf_dir), cap=15)
 
 
+# C16: Bloom-sidecar incremental exact dedup — "which of today's pages are
+# content-new vs the standing corpus" WITHOUT joining the full history: the
+# base residue class (doc_id % 2 == 1) publishes a sharded Bloom sidecar of
+# its content hashes (operators/bloom.py); the delta (doc_id % 2 == 0)
+# probes it and ONLY Bloom hits pay the exact verify join (broadcast from
+# the hit side — the base is scanned, never shuffled). Misses are
+# guaranteed-new, hits are verified on full normalized-text equality, so
+# the composition EQUALS the text-equality anti-join the oracle runs.
+# Exact-dup crossings of this split exist only at sf0.1 (4 delta docs);
+# at sf0.001/0.01 the all-new answer still value-checks every status.
+def c16_bloom_delta(spark, sf_dir):
+    from dedup_spark.operators.bloom import bloom_delta_new
+    from dedup_spark.plans.pipeline import spill
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", normalize_text("text").alias("t")
+    )
+    return bloom_delta_new(
+        docs.filter(F.col("doc_id") % 2 != 0),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        text_col="t",
+        materialize=lambda df: spill(df, CFG, "c16_probe"),
+    )
+
+
 # N13: cross-source duplication matrix — dup-pair counts between source
 # pairs, derived from (cluster, source) COUNTS only (never an enumerated
 # pair table). Closure-oracled like n11, so it re-grades the clustering
@@ -1386,6 +1411,7 @@ QUERIES = {
     "c13_token_rarity": c13_token_rarity,
     "c14_dedup_weights": c14_dedup_weights,
     "c15_source_cap_sample": c15_source_cap_sample,
+    "c16_bloom_delta": c16_bloom_delta,
     "n13_cross_source_dup_matrix": n13_cross_source_dup_matrix,
     "curation_end_to_end": curation_end_to_end,
     "pipeline_end_to_end": pipeline_end_to_end,
@@ -1705,6 +1731,20 @@ ORACLE = {
                              else len({_WORDS}) end)::BIGINT AS n_tokens
                 FROM documents)
         ) WHERE rank <= 15
+    """,
+    "c16_bloom_delta": f"""
+        WITH nd AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        base AS (SELECT doc_id, t FROM nd WHERE doc_id % 2 != 0),
+        delta AS (SELECT doc_id, t FROM nd WHERE doc_id % 2 = 0),
+        hit AS (
+          SELECT d.doc_id, min(b.doc_id) AS canonical_doc_id
+          FROM delta d JOIN base b USING (t) GROUP BY d.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN h.canonical_doc_id IS NULL THEN 'new'
+                    ELSE 'dup' END AS status,
+               h.canonical_doc_id
+        FROM delta d LEFT JOIN hit h USING (doc_id)
     """,
     "f_quality": rf"""
         WITH base AS (

@@ -401,3 +401,27 @@ def test_cross_source_dup_matrix_counts_only_no_pair_fanout(spark):
     assert "Generate" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_delta_verify_joins_broadcast_base_never_shuffles(spark):
+    """bloom_delta_new (c16): every verify-side join must broadcast the
+    bloom-hit subset — the standing corpus is scanned, never shuffled or
+    sort-merge-joined (the whole point of the sidecar), and nothing is
+    cartesian. The only allowed exchanges move 8-byte (id, hash) rows:
+    the slice-partitioned probe and the final union's consumers."""
+    from dedup_spark.operators.bloom import bloom_delta_new
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(40)], "doc_id long, text string"
+    )
+    out = bloom_delta_new(
+        docs.filter(F.col("doc_id") % 2 != 0),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        materialize=lambda df: df,  # keep the full lineage in one plan
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+    assert n_bhj == 3, plan  # hits->texts, verify-vs-base, resolve-left
