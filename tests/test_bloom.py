@@ -115,3 +115,16 @@ def test_geometry_validation():
         _validate(4, 4, 7)  # under a byte
     with pytest.raises(ValueError):
         _validate(4, 1 << 16, 0)
+
+
+def test_contract_query_dup_branch_at_sf01(spark):
+    """The %2 split crosses 4 exact-dup groups ONLY at sf0.1 (probed in the
+    testdata; sf0.001/0.01 have no exact dups) — pin the one SF where the
+    contract query's dup branch actually fires."""
+    from dedup_spark.queries import QUERIES
+
+    out = QUERIES["c16_bloom_delta"](spark, "/root/testdata/sf0.1")
+    dups = {
+        r.doc_id: r.canonical_doc_id for r in out.filter("status = 'dup'").collect()
+    }
+    assert dups == {3562: 1917, 1882: 4677, 1824: 2221, 4246: 1237}
