@@ -128,3 +128,15 @@ def test_contract_query_dup_branch_at_sf01(spark):
         r.doc_id: r.canonical_doc_id for r in out.filter("status = 'dup'").collect()
     }
     assert dups == {3562: 1917, 1882: 4677, 1824: 2221, 4246: 1237}
+
+
+def test_hot_key_delta_all_copies_resolve(spark):
+    """Skew shape: 5,000 batch copies of ONE standing page all hash to one
+    slice and one verify key — the probe task vectorizes over the whole
+    group and the verify join must attribute every copy to the same base
+    doc without exploding (hits broadcast, base side never fans out)."""
+    base_rows = [(i, f"page {i}") for i in range(100)]
+    delta_rows = [(10_000 + j, "page 7") for j in range(5_000)]
+    got = _run(spark, base_rows, delta_rows)
+    assert len(got) == 5_000
+    assert set(got.values()) == {("dup", 7)}
