@@ -30,6 +30,11 @@ def main() -> None:
     # ~16 bits/key at the default 1M base: 64 slices x 2^18 bits
     ap.add_argument("--n-slices", type=int, default=64)
     ap.add_argument("--bits-per-slice", type=int, default=1 << 18)
+    ap.add_argument(
+        "--near", action="store_true",
+        help="also A/B the near-dup candidate join (incremental_near_dups) "
+        "with and without the shingle-hash bloom pre-filter",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -104,6 +109,82 @@ def main() -> None:
             args.n_slices * args.bits_per_slice / n, 1)},
     }
     assert n_dup_bloom == n_dup_truth and n_diff == 0, result
+
+    if args.near:
+        # Near-dup incremental path: the bloom pre-filter must shrink the
+        # candidate-join input on a mostly-novel batch and change nothing.
+        from dedup_spark.config import DedupConfig
+        from dedup_spark.functions.signatures import (
+            shingle_hashes_udf,
+            token_hashes,
+        )
+
+        sh = shingle_hashes_udf(DedupConfig())
+        feats_b = spill_path(
+            base.select(
+                "doc_id", sh(token_hashes("text")).alias("shingle_hashes")
+            ),
+            "bloom_bench_featsb",
+        )
+        feats_d = spill_path(
+            delta.select(
+                "doc_id", sh(token_hashes("text")).alias("shingle_hashes")
+            ),
+            "bloom_bench_featsd",
+        )
+        from dedup_spark.operators.curation import incremental_near_dups
+
+        # shingle-count-aware geometry: ~16 bits per distinct base shingle
+        n_base_sh = (
+            feats_b.select(F.explode("shingle_hashes").alias("h"))
+            .distinct()
+            .count()
+        )
+        import math
+
+        slice_bits = 1 << max(
+            13, math.ceil(math.log2(16 * n_base_sh / args.n_slices))
+        )
+        near_geo = dict(n_slices=args.n_slices, bits_per_slice=slice_bits)
+
+        # one-time sidecar build over the standing corpus, spilled like a
+        # production job would publish it — every incoming batch reuses it
+        from dedup_spark.operators.bloom import bloom_probe as _probe
+        from dedup_spark.operators.bloom import bloom_sidecar as _side
+
+        ex_b = feats_b.select(F.explode("shingle_hashes").alias("h"))
+        t0 = time.perf_counter()
+        side = spill_path(_side(ex_b, **near_geo), "bloom_bench_sidecar")
+        side.count()
+        t_build = round(time.perf_counter() - t0, 1)
+
+        def run_near(bloom):
+            t0 = time.perf_counter()
+            out = incremental_near_dups(
+                feats_d, feats_b, threshold=0.7, id_col="doc_id", bloom=bloom
+            )
+            dups = out.filter("status = 'dup'").count()
+            return dups, round(time.perf_counter() - t0, 1)
+
+        dups_plain, t_plain = run_near(None)
+        dups_bloom, t_bloom_near = run_near({"sidecar": side, **near_geo})
+        # join-input reduction: delta shingle rows surviving the probe
+        ex_d = feats_d.select("doc_id", F.explode("shingle_hashes").alias("h"))
+        kept = _probe(ex_d, side, **near_geo).filter("maybe").count()
+        total = ex_d.count()
+        result["near"] = {
+            "base_distinct_shingles": n_base_sh,
+            "delta_shingle_rows": total,
+            "rows_into_candidate_join": kept,
+            "join_input_reduction": round(1 - kept / max(total, 1), 4),
+            "dups_plain": dups_plain, "dups_bloom": dups_bloom,
+            "sidecar_build_sec": t_build,
+            "plain_batch_sec": t_plain,
+            "bloom_batch_sec": t_bloom_near,
+            "geometry": near_geo,
+        }
+        assert dups_plain == dups_bloom, result
+
     with open("BENCH/bloom_delta.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

@@ -103,6 +103,7 @@ def incremental_near_dups(
     id_col: str = "id",
     sh_col: str = "shingle_hashes",
     max_shingle_df: int | None = None,
+    bloom: dict | None = None,
 ) -> DataFrame:
     """Incremental dedup: match a new batch (delta) against an existing
     corpus (base) by shingle-set Jaccard >= threshold.
@@ -118,6 +119,20 @@ def incremental_near_dups(
     frequency exceeds it before the join (explicit recall trade; the
     filter is on the base side only so delta-internal repetition cannot
     mask a true base match).
+
+    `bloom` (geometry kwargs for operators/bloom.bloom_sidecar, e.g.
+    {"n_slices": 64, "bits_per_slice": 1 << 18, "k": 7} — size to the
+    base's DISTINCT shingle count at ~10+ bits/key) pre-filters the delta
+    shingle stream through a Bloom sidecar of the base's shingle hashes
+    before the candidate join. Mostly-novel batches then ship only the
+    shingles that can possibly match: a Bloom miss cannot join (no false
+    negatives), a false positive merely adds a joinless row — the result
+    is IDENTICAL with or without (property-pinned in test_bloom). Built
+    AFTER the max_shingle_df prune so dropped boilerplate shingles don't
+    resurrect candidates through the sidecar. The standing-corpus pattern:
+    pass a PREBUILT sidecar as bloom={"sidecar": df, **geometry} (same
+    geometry it was built with, over the same post-prune shingle stream)
+    so the one-time build amortizes across every incoming batch.
     """
     d_sh = delta.select(F.col(id_col).alias("_did"), F.col(sh_col).alias("_dsh"))
     b_sh = base.select(F.col(id_col).alias("_bid"), F.col(sh_col).alias("_bsh"))
@@ -131,6 +146,20 @@ def incremental_near_dups(
         )
         ex_b = ex_b.join(hot, "_h", "left_anti")
     ex_d = d_sh.select("_did", F.explode("_dsh").alias("_h"))
+    if bloom is not None:
+        from dedup_spark.operators.bloom import bloom_probe, bloom_sidecar
+
+        geo = {k: v for k, v in bloom.items() if k != "sidecar"}
+        side = bloom.get("sidecar")
+        if side is None:
+            side = bloom_sidecar(ex_b.select(F.col("_h").alias("h")), **geo)
+        ex_d = (
+            bloom_probe(
+                ex_d.select("_did", F.col("_h").alias("h")), side, **geo
+            )
+            .filter(F.col("maybe"))
+            .select("_did", F.col("h").alias("_h"))
+        )
     cand = ex_d.join(ex_b, "_h").select("_did", "_bid").distinct()
     inter = F.size(F.array_intersect("_dsh", "_bsh"))
     union = F.size("_dsh") + F.size("_bsh") - inter

@@ -140,3 +140,29 @@ def test_hot_key_delta_all_copies_resolve(spark):
     got = _run(spark, base_rows, delta_rows)
     assert len(got) == 5_000
     assert set(got.values()) == {("dup", 7)}
+
+
+def test_near_dup_bloom_prefilter_is_identity(spark, pages):
+    """incremental_near_dups(bloom=...) must return EXACTLY the plain
+    result: a Bloom miss cannot join (the sidecar holds every base
+    shingle), a false positive only adds a joinless row. Checked both at
+    sane sizing and with a deliberately saturated 8-bit bloom."""
+    from dedup_spark.functions.text import shingle_hashes
+    from dedup_spark.operators.curation import incremental_near_dups
+
+    feats = pages.select(
+        F.xxhash64("url").alias("id"),
+        shingle_hashes("text", 5).alias("shingle_hashes"),
+    ).persist()
+    delta = feats.filter(F.pmod("id", F.lit(5)) == 0)
+    base = feats.filter(F.pmod("id", F.lit(5)) != 0)
+
+    def run(**kw):
+        out = incremental_near_dups(delta, base, threshold=0.7, **kw)
+        return sorted(map(tuple, out.collect()))
+
+    plain = run()
+    assert sum(1 for r in plain if r[1] == "dup") > 0  # non-vacuous
+    assert run(bloom={"n_slices": 8, "bits_per_slice": 1 << 14, "k": 5}) == plain
+    assert run(bloom={"n_slices": 1, "bits_per_slice": 8, "k": 2}) == plain
+    feats.unpersist()
