@@ -93,6 +93,7 @@ def main() -> None:
         "c14_dedup_weights",
         "c15_source_cap_sample",
         "c16_bloom_delta",
+        "c17_balanced_shards",
         "n13_cross_source_dup_matrix",
         "curation_end_to_end",
     ]

@@ -1014,3 +1014,63 @@ def cross_source_dup_matrix(
             F.count(F.lit(1)).cast("long").alias("n_clusters"),
         )
     )
+
+
+def balanced_shards(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-balanced output sharding for training dataloaders: assign every
+    doc to one of `n_shards` shards so per-shard token totals come out
+    near-equal (each shard's sum within ~one max-doc of the ideal), while
+    the assignment stays a pure deterministic function of the corpus —
+    reproducible by any SQL engine.
+
+    Method: rank all docs globally by (n_tokens DESC, id ASC) and snake the
+    ranking across shards (rank r -> g = (r-1) mod 2S; shard = g if g < S
+    else 2S-1-g — the boustrophedon placement: big docs spread first, each
+    back-and-forth pass balances the previous one's tail bias). Output one
+    row per doc: (id, n_tokens, rank, shard).
+
+    The global rank is computed WITHOUT a single-task total sort (the
+    pack_tokens pattern): range-partition on (n_tokens DESC, id) so
+    partition order == rank order, take per-partition row_number windows,
+    and broadcast the tiny per-partition count prefix back as offsets.
+    rank = offset(partition) + local row_number, identical to the
+    single-window result for every row; no task ever holds more than a
+    range-partition split (~maxPartitionBytes), no matter the corpus.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    n_tok = F.size(tokens(text_col)).cast("long")
+    t = (
+        docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .repartitionByRange(F.col("n_tokens").desc(), F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_pid").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    t = t.withColumn("_local_rank", F.row_number().over(wloc).cast("long"))
+    subs = t.groupBy("_pid").agg(F.max("_local_rank").alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = subs.select(
+        "_pid", (F.sum("_cnt").over(woff) - F.col("_cnt")).alias("_off")
+    )
+    g = (F.col("_off") + F.col("_local_rank") - 1) % F.lit(2 * n_shards)
+    return (
+        t.join(F.broadcast(offs), "_pid")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_off") + F.col("_local_rank")).alias("rank"),
+            F.when(g < n_shards, g)
+            .otherwise(2 * n_shards - 1 - g)
+            .cast("long")
+            .alias("shard"),
+        )
+    )

@@ -937,6 +937,18 @@ def c16_bloom_delta(spark, sf_dir):
     )
 
 
+# C17: token-balanced output sharding (dataloader shards) — global rank by
+# (n_tokens DESC, doc_id ASC) snaked across 8 shards; per-shard token sums
+# land within ~one max-doc of ideal. The rank is a two-phase distributed
+# computation (range partition + broadcast offsets, the pack_tokens
+# pattern — no single-task total sort), but its VALUE is the plain global
+# row_number the oracle computes.
+def c17_balanced_shards(spark, sf_dir):
+    from dedup_spark.operators.curation import balanced_shards
+
+    return balanced_shards(_docs(spark, sf_dir), n_shards=8)
+
+
 # N13: cross-source duplication matrix — dup-pair counts between source
 # pairs, derived from (cluster, source) COUNTS only (never an enumerated
 # pair table). Closure-oracled like n11, so it re-grades the clustering
@@ -1412,6 +1424,7 @@ QUERIES = {
     "c14_dedup_weights": c14_dedup_weights,
     "c15_source_cap_sample": c15_source_cap_sample,
     "c16_bloom_delta": c16_bloom_delta,
+    "c17_balanced_shards": c17_balanced_shards,
     "n13_cross_source_dup_matrix": n13_cross_source_dup_matrix,
     "curation_end_to_end": curation_end_to_end,
     "pipeline_end_to_end": pipeline_end_to_end,
@@ -1745,6 +1758,24 @@ ORACLE = {
                     ELSE 'dup' END AS status,
                h.canonical_doc_id
         FROM delta d LEFT JOIN hit h USING (doc_id)
+    """,
+    "c17_balanced_shards": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 (case when {_NORM} = '' then 0
+                       else len({_WORDS}) end)::BIGINT AS n_tokens
+          FROM documents
+        ), r AS (
+          SELECT doc_id, n_tokens,
+                 row_number() OVER (
+                   ORDER BY n_tokens DESC, doc_id ASC
+                 )::BIGINT AS rank
+          FROM t
+        )
+        SELECT doc_id, n_tokens, rank,
+               (CASE WHEN (rank - 1) % 16 < 8 THEN (rank - 1) % 16
+                     ELSE 15 - (rank - 1) % 16 END)::BIGINT AS shard
+        FROM r
     """,
     "f_quality": rf"""
         WITH base AS (

@@ -551,3 +551,37 @@ def test_cross_source_dup_matrix_hand_values(spark):
     }
     # total pairs across cells == sum over clusters of C(size, 2)
     assert sum(v[0] for v in out.values()) == 10 + 1
+
+
+def test_balanced_shards_matches_single_window_and_balances(spark):
+    """Two-phase global rank == the plain single-window ranking under heavy
+    ties, and the snake placement keeps per-shard token sums within one
+    max-doc of each other."""
+    from pyspark.sql import Window
+
+    from dedup_spark.operators.curation import balanced_shards
+
+    # heavy ties: token counts drawn from a tiny set so rank order leans on
+    # the id tiebreak across range-partition boundaries
+    rows = [(i, "tok " * ((i * 7) % 5 + 1)) for i in range(400)]
+    df = _docs(spark, rows)
+    out = balanced_shards(df, n_shards=4)
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    ref = (
+        out.select("doc_id", "n_tokens")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .collect()
+    )
+    got = {r.doc_id: r.rank for r in out.collect()}
+    assert got == {r.doc_id: r.rank for r in ref}
+    sums = {
+        r.shard: r.s
+        for r in out.groupBy("shard").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert set(sums) == {0, 1, 2, 3}
+    assert max(sums.values()) - min(sums.values()) <= 5  # max doc = 5 tokens
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        balanced_shards(df, n_shards=0)

@@ -425,3 +425,22 @@ def test_bloom_delta_verify_joins_broadcast_base_never_shuffles(spark):
     assert "SortMergeJoin" not in plan, plan
     n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
     assert n_bhj == 3, plan  # hits->texts, verify-vs-base, resolve-left
+
+
+def test_balanced_shards_two_phase_rank_no_total_sort_funnel(spark):
+    """The global rank must ride a RANGE exchange on (n_tokens DESC, id)
+    with per-partition windows and a broadcast offset join — never a
+    partitionless window over the full data (a single-task total sort).
+    Allowed window specs: (_pid, n_tokens DESC ...) over the data and the
+    (_pid ASC) running sum over the tiny per-partition count table."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["c17_balanced_shards"](spark, SF_DIR))
+    assert re.search(r"rangepartitioning\(n_tokens#\d+L DESC", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    specs = re.findall(
+        r"windowspecdefinition\((\w+#\d+L?(?:, \w+#\d+L?)?)[ ,]", plan
+    )
+    assert specs, plan
+    for spec in specs:
+        assert re.match(r"_pid#\d+(, n_tokens#\d+L)?$", spec), (spec, plan)
