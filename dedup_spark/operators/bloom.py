@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, StructField, StructType
 
-__all__ = ["bloom_sidecar", "bloom_probe", "bloom_delta_new"]
+__all__ = ["bloom_sidecar", "bloom_probe", "bloom_union", "bloom_delta_new"]
 
 # splitmix64 finalizer constants — the build and probe sides must mix
 # identically, but nothing outside this module depends on these values.
@@ -111,6 +111,34 @@ def bloom_sidecar(
         )
         .groupBy("_slice")
         .applyInPandas(build, "slice long, bitmap binary")
+    )
+
+
+def bloom_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two sidecars of IDENTICAL geometry into one: slice-wise bitmap
+    OR (Bloom filters are union-homomorphic). The standing-corpus daily
+    cycle never rebuilds over the history — build a sidecar of just the
+    accepted batch and union it in: union(build(A), build(B)) ==
+    build(A ∪ B) bit-for-bit (pinned in test_bloom). The sidecar table is
+    O(slices) rows, so this is driver-trivial work kept as a DataFrame op
+    for composability."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        maps = [np.frombuffer(buf, dtype=np.uint8) for buf in pdf["bitmap"]]
+        out = maps[0].copy()
+        for x in maps[1:]:
+            if len(x) != len(out):
+                raise ValueError("bloom_union: geometry mismatch between sidecars")
+            out |= x
+        return pd.DataFrame(
+            {"slice": [int(pdf["slice"].iloc[0])], "bitmap": [out.tobytes()]}
+        )
+
+    return (
+        a.select("slice", "bitmap")
+        .unionByName(b.select("slice", "bitmap"))
+        .groupBy("slice")
+        .applyInPandas(merge, "slice long, bitmap binary")
     )
 
 

@@ -166,3 +166,37 @@ def test_near_dup_bloom_prefilter_is_identity(spark, pages):
     assert run(bloom={"n_slices": 8, "bits_per_slice": 1 << 14, "k": 5}) == plain
     assert run(bloom={"n_slices": 1, "bits_per_slice": 8, "k": 2}) == plain
     feats.unpersist()
+
+
+def test_union_equals_build_of_union(spark):
+    """Bloom filters are union-homomorphic: union(build(A), build(B)) must
+    equal build(A ∪ B) bit-for-bit — the daily-cycle property that lets a
+    standing corpus fold each accepted batch into its sidecar without ever
+    rebuilding over the history. Geometry mismatch must fail loudly."""
+    from dedup_spark.operators.bloom import bloom_union
+
+    ha = spark.range(0, 1500).select(F.xxhash64("id").alias("h"))
+    hb = spark.range(1200, 3000).select(F.xxhash64("id").alias("h"))
+    geo = dict(n_slices=8, bits_per_slice=1 << 12, k=5)
+    merged = {
+        r.slice: r.bitmap
+        for r in bloom_union(
+            bloom_sidecar(ha, **geo), bloom_sidecar(hb, **geo)
+        ).collect()
+    }
+    direct = {
+        r.slice: r.bitmap
+        for r in bloom_sidecar(ha.union(hb), **geo).collect()
+    }
+    assert merged == direct
+    # and the merged sidecar probes exactly like the direct one
+    probed = bloom_probe(hb, bloom_union(
+        bloom_sidecar(ha, **geo), bloom_sidecar(hb, **geo)
+    ), **geo)
+    assert probed.filter("maybe").count() == hb.count()
+
+    import pytest as _pytest
+
+    bad = bloom_sidecar(hb, n_slices=8, bits_per_slice=1 << 10, k=5)
+    with _pytest.raises(Exception, match="geometry mismatch"):
+        bloom_union(bloom_sidecar(ha, **geo), bad).collect()
