@@ -1016,6 +1016,93 @@ def cross_source_dup_matrix(
     )
 
 
+def _global_rank(t: DataFrame, *order) -> DataFrame:
+    """Append a 1-based global ``rank`` column ordered by `order` WITHOUT a
+    single-task total sort (the pack_tokens two-phase pattern): range-
+    partition on the order columns so partition order == rank order, take
+    per-partition ``row_number`` windows (group size bounded by the range
+    split, ~maxPartitionBytes, never by the corpus), aggregate the tiny
+    per-partition counts into prefix offsets with a window over that
+    P-row table, and broadcast the offsets back.
+
+    rank = offset(partition) + local row_number — identical to the single-
+    window ``row_number() OVER (ORDER BY ...)`` result for every row, which
+    is exactly what the SQL oracles compute. `order` must be a total order
+    (tie-break on a unique id) or ranks at range-partition boundaries could
+    differ from the single-window tie ordering.
+    """
+    t = t.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    wloc = Window.partitionBy("_pid").orderBy(*order)
+    t = t.withColumn("_local_rank", F.row_number().over(wloc).cast("long"))
+    subs = t.groupBy("_pid").agg(F.max("_local_rank").alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = subs.select(
+        "_pid", (F.sum("_cnt").over(woff) - F.col("_cnt")).alias("_off")
+    )
+    return (
+        t.join(F.broadcast(offs), "_pid")
+        .withColumn("rank", F.col("_off") + F.col("_local_rank"))
+        .drop("_pid", "_local_rank", "_off")
+    )
+
+
+# MINSTD (Lehmer) parameters: a full-period multiplicative LCG over the
+# prime modulus 2^31-1. Chosen over xxhash64 for the shuffle key because the
+# mix must be INTEGER-ONLY and engine-portable — any SQL engine reproduces
+# ((id + seed) % M) * mult % M bit-for-bit, which is what makes the epoch
+# order auditable outside Spark. The multiplier is the SEED-DEPENDENT
+# skip-ahead power A^(seed+1) mod M (computed driver-side): an affine mix
+# like (id + seed) * A would shift every key by the same constant when the
+# seed changes, leaving the ORDER almost unchanged except at the mod
+# wraparound (~A/M of rows) — caught by the seed-sensitivity test; distinct
+# multiplier powers permute the residues completely differently. (A
+# production pipeline free of the cross-engine constraint can swap the key
+# expression for xxhash64(id, seed) unchanged.)
+_MINSTD_M = 2147483647
+_MINSTD_A = 48271
+
+
+def minstd_shuffle_mult(seed: int) -> int:
+    """The seed's skip-ahead multiplier A^(seed+1) mod M — exposed so SQL
+    oracles can embed the same constant."""
+    return pow(_MINSTD_A, seed + 1, _MINSTD_M)
+
+
+def seeded_shuffle(
+    docs: DataFrame, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic seeded global shuffle — the reproducible training-epoch
+    order every dataloader needs: position = global rank of an integer mix
+    of (id, seed), so the permutation is a pure function of (corpus, seed),
+    stable across cluster sizes, partitioning, and engines.
+
+    Output one row per doc: (id, shuffle_key, position) with position in
+    0..n-1 (0-based, dataloader-style). Different seeds give different
+    permutations; the same seed always replays the same order, so a resumed
+    or re-run training job reads identical batches.
+
+    Scale: the mix is a stateless JVM projection; the rank is the two-phase
+    range-partition + broadcast-offsets computation (`_global_rank`) — no
+    task ever sorts more than one range split, no matter the corpus size.
+
+    Requires non-negative ids and seed (both engines' `%` is dividend-
+    signed; non-negative inputs keep the arithmetic identical everywhere).
+    """
+    if seed < 0:
+        raise ValueError("seed must be non-negative")
+    mult = minstd_shuffle_mult(int(seed))
+    key = (
+        (F.col(id_col) + F.lit(int(seed))) % F.lit(_MINSTD_M)
+    ) * F.lit(mult) % F.lit(_MINSTD_M)
+    t = docs.select(F.col(id_col), key.cast("long").alias("shuffle_key"))
+    r = _global_rank(t, F.col("shuffle_key").asc(), F.col(id_col).asc())
+    return r.select(
+        id_col, "shuffle_key", (F.col("rank") - 1).alias("position")
+    )
+
+
 def balanced_shards(
     docs: DataFrame,
     n_shards: int,
@@ -1045,32 +1132,15 @@ def balanced_shards(
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     n_tok = F.size(tokens(text_col)).cast("long")
-    t = (
-        docs.select(F.col(id_col), n_tok.alias("n_tokens"))
-        .repartitionByRange(F.col("n_tokens").desc(), F.col(id_col).asc())
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    wloc = Window.partitionBy("_pid").orderBy(
-        F.col("n_tokens").desc(), F.col(id_col).asc()
-    )
-    t = t.withColumn("_local_rank", F.row_number().over(wloc).cast("long"))
-    subs = t.groupBy("_pid").agg(F.max("_local_rank").alias("_cnt"))
-    woff = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offs = subs.select(
-        "_pid", (F.sum("_cnt").over(woff) - F.col("_cnt")).alias("_off")
-    )
-    g = (F.col("_off") + F.col("_local_rank") - 1) % F.lit(2 * n_shards)
-    return (
-        t.join(F.broadcast(offs), "_pid")
-        .select(
-            id_col,
-            "n_tokens",
-            (F.col("_off") + F.col("_local_rank")).alias("rank"),
-            F.when(g < n_shards, g)
-            .otherwise(2 * n_shards - 1 - g)
-            .cast("long")
-            .alias("shard"),
-        )
+    t = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    r = _global_rank(t, F.col("n_tokens").desc(), F.col(id_col).asc())
+    g = (F.col("rank") - 1) % F.lit(2 * n_shards)
+    return r.select(
+        id_col,
+        "n_tokens",
+        "rank",
+        F.when(g < n_shards, g)
+        .otherwise(2 * n_shards - 1 - g)
+        .cast("long")
+        .alias("shard"),
     )

@@ -949,6 +949,21 @@ def c17_balanced_shards(spark, sf_dir):
     return balanced_shards(_docs(spark, sf_dir), n_shards=8)
 
 
+# C18: deterministic seeded global shuffle — the reproducible training-epoch
+# order: position = global rank of a MINSTD skip-ahead mix of (doc_id, seed)
+# (multiplier = 48271^(seed+1) mod 2^31-1, embedded as a constant in BOTH
+# engines). Integer-only arithmetic so the oracle replays the permutation
+# bit-for-bit; the rank itself is the same two-phase distributed computation
+# as c17 (range partition + broadcast offsets — no single-task total sort).
+_C18_SEED = 777
+
+
+def c18_seeded_shuffle(spark, sf_dir):
+    from dedup_spark.operators.curation import seeded_shuffle
+
+    return seeded_shuffle(_docs(spark, sf_dir), seed=_C18_SEED)
+
+
 # N13: cross-source duplication matrix — dup-pair counts between source
 # pairs, derived from (cluster, source) COUNTS only (never an enumerated
 # pair table). Closure-oracled like n11, so it re-grades the clustering
@@ -1425,6 +1440,7 @@ QUERIES = {
     "c15_source_cap_sample": c15_source_cap_sample,
     "c16_bloom_delta": c16_bloom_delta,
     "c17_balanced_shards": c17_balanced_shards,
+    "c18_seeded_shuffle": c18_seeded_shuffle,
     "n13_cross_source_dup_matrix": n13_cross_source_dup_matrix,
     "curation_end_to_end": curation_end_to_end,
     "pipeline_end_to_end": pipeline_end_to_end,
@@ -1776,6 +1792,19 @@ ORACLE = {
                (CASE WHEN (rank - 1) % 16 < 8 THEN (rank - 1) % 16
                      ELSE 15 - (rank - 1) % 16 END)::BIGINT AS shard
         FROM r
+    """,
+    "c18_seeded_shuffle": f"""
+        WITH k AS (
+          SELECT doc_id,
+                 (((doc_id + {_C18_SEED}) % 2147483647)
+                  * {pow(48271, _C18_SEED + 1, 2147483647)}
+                  % 2147483647)::BIGINT AS shuffle_key
+          FROM documents
+        )
+        SELECT doc_id, shuffle_key,
+               (row_number() OVER (ORDER BY shuffle_key ASC, doc_id ASC)
+                - 1)::BIGINT AS position
+        FROM k
     """,
     "f_quality": rf"""
         WITH base AS (

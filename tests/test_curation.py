@@ -585,3 +585,49 @@ def test_balanced_shards_matches_single_window_and_balances(spark):
 
     with _pytest.raises(ValueError):
         balanced_shards(df, n_shards=0)
+
+
+def test_seeded_shuffle_is_reproducible_permutation(spark):
+    """position is a 0-based permutation equal to the single-window rank of
+    the MINSTD mix; same seed replays identically under different input
+    partitioning; different seeds give different orders."""
+    from pyspark.sql import Window
+
+    from dedup_spark.operators.curation import seeded_shuffle
+
+    rows = [(i, "x") for i in range(311)]
+    df = _docs(spark, rows)
+    out = seeded_shuffle(df, seed=7)
+    got = {r.doc_id: (r.shuffle_key, r.position) for r in out.collect()}
+
+    # 0-based permutation
+    assert sorted(p for _, p in got.values()) == list(range(311))
+    # single-window identity (including the id tiebreak ordering)
+    w = Window.orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+    mult = pow(48271, 8, 2147483647)  # minstd_shuffle_mult(7)
+    ref = (
+        df.selectExpr(
+            "doc_id",
+            f"((doc_id + 7) % 2147483647) * {mult} % 2147483647"
+            " AS shuffle_key",
+        )
+        .withColumn("position", F.row_number().over(w).cast("long") - 1)
+        .collect()
+    )
+    assert got == {r.doc_id: (r.shuffle_key, r.position) for r in ref}
+    # partitioning-invariant replay
+    again = {
+        r.doc_id: (r.shuffle_key, r.position)
+        for r in seeded_shuffle(df.repartition(7), seed=7).collect()
+    }
+    assert again == got
+    # seed sensitivity: a different seed must not replay the same order
+    other = {
+        r.doc_id: r.position for r in seeded_shuffle(df, seed=8).collect()
+    }
+    assert other != {d: p for d, (_, p) in got.items()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        seeded_shuffle(df, seed=-1)

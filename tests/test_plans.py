@@ -444,3 +444,23 @@ def test_balanced_shards_two_phase_rank_no_total_sort_funnel(spark):
     assert specs, plan
     for spec in specs:
         assert re.match(r"_pid#\d+(, n_tokens#\d+L)?$", spec), (spec, plan)
+
+
+def test_seeded_shuffle_two_phase_rank_no_total_sort_funnel(spark):
+    """c18 rides the same two-phase global rank as c17: a RANGE exchange on
+    (shuffle_key ASC, doc_id ASC), windows only per _pid (data) or over the
+    tiny per-partition count table — never a partitionless window over the
+    corpus — and the offsets come back via broadcast join. The mix itself
+    must stay a JVM projection (no Python)."""
+    from dedup_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["c18_seeded_shuffle"](spark, SF_DIR))
+    assert re.search(r"rangepartitioning\(shuffle_key#\d+L ASC", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    specs = re.findall(
+        r"windowspecdefinition\((\w+#\d+L?(?:, \w+#\d+L?)?)[ ,]", plan
+    )
+    assert specs, plan
+    for spec in specs:
+        assert re.match(r"_pid#\d+(, shuffle_key#\d+L)?$", spec), (spec, plan)
