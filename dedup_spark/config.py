@@ -36,6 +36,17 @@ class DedupConfig:
     # --- MinHash (N3) ---
     num_perm: int = 128
     minhash_seed: int = 42
+    # "classic": num_perm independent Mersenne-31 permutations — the
+    #   reference configuration (BASELINE.json north_star: "128
+    #   permutations"); every recall-vs-reference claim is made under it.
+    # "oph": densified one-permutation hashing (Shrivastava & Li, ICML 2014)
+    #   — ONE permutation pass over the shingles, range-split into num_perm
+    #   bins, per-bin min, empty bins filled by circular borrow from the
+    #   next filled bin (+t*p offset so borrow distance never aliases).
+    #   Same (n, num_perm) signature shape, unbiased Jaccard estimator,
+    #   ~128x less hash arithmetic — the scheme you'd run at 10^12 docs.
+    #   Banding/verification downstream is scheme-agnostic.
+    minhash_scheme: str = "classic"
 
     # --- LSH banding (N4): bands * rows_per_band must equal num_perm.
     # theta ~ (1/b)^(1/r): b=32, r=4 -> ~0.42. The banding threshold must sit
@@ -127,6 +138,11 @@ class DedupConfig:
             )
         if self.shingle_k < 1:
             raise ValueError("shingle_k must be >= 1")
+        if self.minhash_scheme not in ("classic", "oph"):
+            raise ValueError(
+                f"minhash_scheme must be 'classic' or 'oph', "
+                f"got {self.minhash_scheme!r}"
+            )
         if not (0.0 < self.jaccard_threshold <= 1.0):
             raise ValueError("jaccard_threshold in (0, 1]")
         if self.simhash_key_blocks < 1:

@@ -158,6 +158,7 @@ def signature_batch(
     rows_per_band: int,
     include_signature: bool = True,
     include_shingles: bool = True,
+    scheme: str = "classic",
 ) -> pd.DataFrame:
     """Pure-function batch used by the UDF (unit-testable without Spark).
 
@@ -171,11 +172,12 @@ def signature_batch(
     drops the shingle arrays (CHANNEL_SCHEMA): they are still computed
     (MinHash needs them) but never serialized back.
     """
-    from dedup_spark.functions.minhash import minhash_from_flat
+    from dedup_spark.functions.minhash import minhash_from_flat, oph_from_flat
     from dedup_spark.functions.simhash import simhash_from_flat
 
     sh_list, sh_lengths, sh_flat = _shingle_flat(tok_arrays, k)
-    sigs = minhash_from_flat(sh_flat, sh_lengths, num_perm, seed)
+    mh = oph_from_flat if scheme == "oph" else minhash_from_flat
+    sigs = mh(sh_flat, sh_lengths, num_perm, seed)
     sims = simhash_from_flat(sh_flat, sh_lengths)
     bnd = band_keys_from_signatures(sigs, bands, rows_per_band)
     cols = {}
@@ -201,6 +203,7 @@ def doc_signature_udf(
     shingles lazily for the candidate-involved subset)."""
     k, num_perm, seed = config.shingle_k, config.num_perm, config.minhash_seed
     b, r = config.lsh_bands, config.lsh_rows_per_band
+    scheme = config.minhash_scheme
     if not include_shingles:
         schema = CHANNEL_SCHEMA
         if include_signature:
@@ -214,6 +217,7 @@ def doc_signature_udf(
             tok, k, num_perm, seed, b, r,
             include_signature=include_signature,
             include_shingles=include_shingles,
+            scheme=scheme,
         )
 
     return _sig
