@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--groups-per-level", type=int, default=60)
     ap.add_argument("--rows", type=int, default=4000)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--scheme", default="classic",
+                    choices=["classic", "oph"],
+                    help="MinHash scheme (oph = densified one-permutation hashing; writes BENCH/recall_oph.json instead)")
     args = ap.parse_args()
 
     from dedup_spark.config import DedupConfig
@@ -41,7 +44,8 @@ def main() -> None:
     shm = "/dev/shm/recall_bench" if os.path.isdir("/dev/shm") else None
     if shm:
         os.makedirs(shm, exist_ok=True)
-    config = DedupConfig(shuffle_partitions=args.cores * 2, spill_dir=shm)
+    config = DedupConfig(shuffle_partitions=args.cores * 2, spill_dir=shm,
+                         minhash_scheme=args.scheme)
     spark = build_session(
         "recall_bench", master=f"local[{args.cores}]", config=config,
         shuffle_partitions=args.cores * 2,
@@ -63,6 +67,7 @@ def main() -> None:
     result = {
         "metric": "dup-pair recall/precision vs planted golden clusters "
         "(k=5 shingles, 128 perms, 32x4 bands, jaccard_theta=0.7)",
+        "minhash_scheme": args.scheme,
         "recall": round(recall, 5),
         "precision": round(precision, 5),
         "golden_pairs": len(gold),
@@ -72,7 +77,8 @@ def main() -> None:
         "passes_0.99": recall >= 0.99,
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/recall.json", "w") as f:
+    out = "BENCH/recall.json" if args.scheme == "classic" else "BENCH/recall_oph.json"
+    with open(out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     if shm:
