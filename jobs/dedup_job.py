@@ -66,6 +66,13 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--jaccard-threshold", type=float, default=0.7)
+    ap.add_argument("--minhash-scheme", default="classic",
+                    choices=["classic", "oph"],
+                    help="'classic' (128 independent permutations, the "
+                         "reference config) or 'oph' (densified one-"
+                         "permutation hashing — num_perm-independent "
+                         "signature kernel for wide-signature or "
+                         "10^12-doc runs)")
     args = ap.parse_args(argv)
 
     from dedup_spark.catalog import Catalog
@@ -76,6 +83,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     channels = tuple(c.strip() for c in args.channels.split(",") if c.strip())
     config = DedupConfig(
         jaccard_threshold=args.jaccard_threshold,
+        minhash_scheme=args.minhash_scheme,
         suffix_enabled="suffix" in channels,
         **({"shuffle_partitions": args.shuffle_partitions}
            if args.shuffle_partitions else {}),
