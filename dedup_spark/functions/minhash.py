@@ -127,8 +127,12 @@ def oph_from_flat(
     flat: np.ndarray, lengths: np.ndarray, num_perm: int, seed: int
 ) -> np.ndarray:
     """Densified one-permutation MinHash (Shrivastava & Li, ICML 2014
-    "Improved Densification of One Permutation Hashing"; binning per Li,
-    Owen & Zhang, NIPS 2012): (n_docs, num_perm) int64 signatures from the
+    "Densifying One Permutation Hashing via Rotation" — the fixed-direction
+    rotation scheme; the UAI 2014 "Improved Densification" follow-up halves
+    variance for docs with far fewer shingles than num_perm via randomized
+    borrow directions, a possible upgrade if short-doc banding recall ever
+    matters; binning per Li, Owen & Zhang, NIPS 2012): (n_docs, num_perm)
+    int64 signatures from the
     same flattened input as `minhash_from_flat`, at ~1 hash pass instead of
     num_perm permutation passes.
 
@@ -224,12 +228,24 @@ def minhash_batch(
 
 
 def minhash_signature_udf(config: DedupConfig):
-    """pandas UDF: array<long> shingle hashes -> array<long> signature."""
+    """pandas UDF: array<long> shingle hashes -> array<long> signature.
+    Honors config.minhash_scheme like doc_signature_udf does."""
     num_perm, seed = config.num_perm, config.minhash_seed
+    kernel = oph_from_flat if config.minhash_scheme == "oph" else minhash_from_flat
 
     @F.pandas_udf(ArrayType(LongType()))
     def _minhash(shingle_arrays: pd.Series) -> pd.Series:
-        return minhash_batch(shingle_arrays, num_perm, seed)
+        arrs = [
+            np.empty(0, dtype=np.int64)
+            if v is None
+            else np.asarray(v, dtype=np.int64)
+            for v in shingle_arrays
+        ]
+        lengths = np.array([len(v) for v in arrs], dtype=np.int64)
+        flat = (
+            np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        )
+        return pd.Series(list(kernel(flat, lengths, num_perm, seed)))
 
     return _minhash
 

@@ -169,6 +169,15 @@ def bloom_probe(
         out = left[cols]
         if left.empty or right.empty:
             return out.assign(maybe=np.zeros(len(out), dtype=bool))
+        if len(right) != 1:
+            # >1 bitmap per slice means two sidecars were unioned with a
+            # plain table union instead of bloom_union; testing against
+            # only one would yield Bloom FALSE NEGATIVES — fail loud.
+            raise ValueError(
+                f"bloom_probe: slice {int(right['slice'].iloc[0])} has "
+                f"{len(right)} sidecar rows (expected 1); merge sidecars "
+                "with bloom_union, not a table union"
+            )
         bitmap = np.frombuffer(right["bitmap"].iloc[0], dtype=np.uint8)
         pos = _bit_positions(out[hash_col].to_numpy(np.int64), k, bits_per_slice)
         hit = (bitmap[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0

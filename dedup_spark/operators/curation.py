@@ -1089,12 +1089,19 @@ def seeded_shuffle(
 
     Requires non-negative ids and seed (both engines' `%` is dividend-
     signed; non-negative inputs keep the arithmetic identical everywhere).
+    The key space is the MINSTD field (2^31 - 1): at n approaching or
+    exceeding ~2 x 10^9 docs, ids congruent mod M share a key and fall
+    back to ascending-id order within the collision group — deterministic
+    and correct, but the permutation quality degrades; shuffle within
+    id-namespace shards (or re-id) past that bound.
     """
     if seed < 0:
         raise ValueError("seed must be non-negative")
     mult = minstd_shuffle_mult(int(seed))
+    # cast BEFORE the arithmetic: an IntegerType id would otherwise make
+    # the whole mix 32-bit and silently wrap at (id % M) * mult
     key = (
-        (F.col(id_col) + F.lit(int(seed))) % F.lit(_MINSTD_M)
+        (F.col(id_col).cast("long") + F.lit(int(seed))) % F.lit(_MINSTD_M)
     ) * F.lit(mult) % F.lit(_MINSTD_M)
     t = docs.select(F.col(id_col), key.cast("long").alias("shuffle_key"))
     r = _global_rank(t, F.col("shuffle_key").asc(), F.col(id_col).asc())

@@ -75,6 +75,14 @@ def signature_config_digest(config: DedupConfig) -> str:
             "shingle_k": config.shingle_k,
             "num_perm": config.num_perm,
             "minhash_seed": config.minhash_seed,
+            # scheme changes every signature/band key; omitting it would
+            # let a classic->oph rerun silently reuse stale features.
+            # (_digest sorts items, so appending a key is append-safe for
+            # OLD checkpoints only if the value matches the old implicit
+            # default — it does not, by design: any pre-existing checkpoint
+            # recomputes once under the new digest, which is the safe
+            # direction.)
+            "minhash_scheme": config.minhash_scheme,
             "lsh_bands": config.lsh_bands,
             "lsh_rows_per_band": config.lsh_rows_per_band,
             "simhash_bits": config.simhash_bits,

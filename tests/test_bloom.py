@@ -200,3 +200,20 @@ def test_union_equals_build_of_union(spark):
     bad = bloom_sidecar(hb, n_slices=8, bits_per_slice=1 << 10, k=5)
     with _pytest.raises(Exception, match="geometry mismatch"):
         bloom_union(bloom_sidecar(ha, **geo), bad).collect()
+
+
+def test_probe_rejects_unmerged_multi_row_sidecar(spark):
+    """Two sidecars combined with a plain table union (instead of
+    bloom_union) would make the probe see only one bitmap per slice and
+    emit Bloom FALSE NEGATIVES — the probe must fail loudly instead."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from dedup_spark.operators.bloom import bloom_probe, bloom_sidecar
+
+    geo = dict(n_slices=4, bits_per_slice=1 << 10, k=3)
+    ha = spark.range(0, 500).select(F.xxhash64("id").alias("h"))
+    hb = spark.range(500, 1000).select(F.xxhash64("id").alias("h"))
+    bad = bloom_sidecar(ha, **geo).unionByName(bloom_sidecar(hb, **geo))
+    with _pytest.raises(PythonException, match="bloom_union"):
+        bloom_probe(hb, bad, **geo).filter("maybe").count()

@@ -631,3 +631,29 @@ def test_seeded_shuffle_is_reproducible_permutation(spark):
 
     with _pytest.raises(ValueError):
         seeded_shuffle(df, seed=-1)
+
+
+def test_seeded_shuffle_int32_ids_match_long_ids(spark):
+    """An IntegerType id column must produce the same keys/positions as the
+    same ids as longs — the mix casts to long BEFORE the arithmetic, so
+    32-bit Spark integer multiplication can never silently wrap."""
+    from dedup_spark.operators.curation import seeded_shuffle
+
+    ids = [0, 1, 7, 65537, 2**31 - 2]
+    df32 = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id int"
+    )
+    df64 = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    )
+    got32 = {
+        r.doc_id: (r.shuffle_key, r.position)
+        for r in seeded_shuffle(df32, seed=3).collect()
+    }
+    got64 = {
+        r.doc_id: (r.shuffle_key, r.position)
+        for r in seeded_shuffle(df64, seed=3).collect()
+    }
+    assert got32 == got64
+    # keys stay inside the MINSTD field (no wrap artifacts)
+    assert all(0 <= k < 2**31 - 1 for k, _ in got32.values())

@@ -162,3 +162,49 @@ def test_pipeline_under_oph_clusters_planted_corpus(spark, pages, config, corpus
     gold = pair_set(corpus.golden_clusters, "url", "cluster_id")
     got = pair_set(members, "url", "cluster_id")
     assert got == gold
+
+
+def test_minhash_signature_udf_honors_scheme(spark):
+    """The public functions-API signature UDF must follow
+    config.minhash_scheme like the engine's doc_signature_udf does."""
+    from dedup_spark.functions.minhash import minhash_signature_udf
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30, 40]), (2, [10, 20, 30, 41])],
+        "id long, sh array<long>",
+    )
+    cfg_c = DedupConfig()
+    cfg_o = DedupConfig(minhash_scheme="oph")
+    sig_c = {
+        r.id: r.s
+        for r in df.select("id", minhash_signature_udf(cfg_c)("sh").alias("s")).collect()
+    }
+    sig_o = {
+        r.id: r.s
+        for r in df.select("id", minhash_signature_udf(cfg_o)("sh").alias("s")).collect()
+    }
+    flat = np.array([10, 20, 30, 40, 10, 20, 30, 41], dtype=np.int64)
+    lengths = np.array([4, 4])
+    np.testing.assert_array_equal(
+        np.array([sig_c[1], sig_c[2]]),
+        minhash_from_flat(flat, lengths, 128, 42),
+    )
+    np.testing.assert_array_equal(
+        np.array([sig_o[1], sig_o[2]]),
+        oph_from_flat(flat, lengths, 128, 42),
+    )
+
+
+def test_checkpoint_digest_includes_scheme():
+    """A classic->oph flip must invalidate checkpointed features and pairs
+    (silent stale reuse would emit wrong-scheme candidates)."""
+    from dedup_spark.plans.incremental import (
+        pairs_config_digest,
+        signature_config_digest,
+    )
+
+    a, b = DedupConfig(), DedupConfig(minhash_scheme="oph")
+    assert signature_config_digest(a) != signature_config_digest(b)
+    assert pairs_config_digest(a) != pairs_config_digest(b)
