@@ -52,11 +52,31 @@ def batch_near_dups_vs_index(
     rounded output — the engine-wide rule). Pure batch DataFrame plan:
     usable inside foreachBatch or standalone.
 
-    `max_shingle_df` drops shingles whose within-BATCH document frequency
-    exceeds it from candidate generation (verification still uses the full
-    sets) — the same explicit boilerplate/recall trade as
+    `max_shingle_df` drops shingles whose document frequency exceeds it
+    from candidate generation (verification still uses the full sets) —
+    the same explicit boilerplate/recall trade as
     `curation.incremental_near_dups`; a crawl front door needs it or a
-    navigation-bar shingle makes every batch join quadratic.
+    navigation-bar shingle makes every batch join quadratic. The frequency
+    is measured over the BATCH PLUS THE INDEX: a template shingle is
+    usually rare within one micro-batch but present in every indexed page,
+    and an index-side-unbounded join would grow with stream lifetime.
+
+    Re-crawled urls (same url in an earlier batch and this one): the index
+    is append-only per batch (the replay-idempotence contract), so a url
+    can hold several historical rows. Candidates join the raw index (extra
+    rows are bounded by the re-crawl rate and collapse in the distinct);
+    self-pairs are filtered; VERIFICATION uses exactly one set per url —
+    the latest crawl wins (max (warc_ts, set), deterministic under replay)
+    with this batch's set superseding all index rows. A production
+    deployment compacts the index to one row per url on a background
+    cadence; the per-batch latest-wins aggregate here is the same
+    computation applied at read.
+
+    Pair output contract under re-crawls: a re-crawled url re-emits its
+    surviving pairs with verdicts computed from the NEW content — the
+    pairs table is a batch_id-partitioned verdict log and consumers take
+    the latest batch_id per (url_a, url_b). Within one batch no pair
+    repeats (pinned in test_streaming).
     """
     src = batch
     if config.drop_empty_text:
@@ -67,14 +87,22 @@ def batch_near_dups_vs_index(
         shingle_hashes_udf(config)(token_hashes("text")).alias("shingle_hashes"),
     )
     new_ex = feats.select("url", F.explode("shingle_hashes").alias("_h"))
+    old_ex = (
+        index.select("url", F.explode("shingle_hashes").alias("_h"))
+        if index is not None
+        else None
+    )
     if max_shingle_df is not None:
+        scope = new_ex if old_ex is None else new_ex.unionByName(old_ex)
         hot = (
-            new_ex.groupBy("_h")
+            scope.groupBy("_h")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_shingle_df)
             .select("_h")
         )
         new_ex = new_ex.join(hot, "_h", "left_anti")
+        if old_ex is not None:
+            old_ex = old_ex.join(hot, "_h", "left_anti")
     within = (
         new_ex.alias("a")
         .join(new_ex.alias("b"), "_h")
@@ -84,17 +112,27 @@ def batch_near_dups_vs_index(
     cand = within
     all_sets = feats.select("url", "shingle_hashes")
     if index is not None:
-        old_ex = index.select("url", F.explode("shingle_hashes").alias("_h"))
         cross = (
             new_ex.alias("a")
             .join(old_ex.alias("b"), "_h")
+            .filter(F.col("a.url") != F.col("b.url"))
             .select(
                 F.least(F.col("a.url"), F.col("b.url")).alias("url_a"),
                 F.greatest(F.col("a.url"), F.col("b.url")).alias("url_b"),
             )
         )
         cand = within.unionByName(cross)
-        all_sets = all_sets.unionByName(index.select("url", "shingle_hashes"))
+        # one verification set per url: latest index row per url (struct
+        # max orders by warc_ts first; the set itself breaks exact ties so
+        # a replayed batch resolves identically), new batch supersedes
+        latest = (
+            index.groupBy("url")
+            .agg(F.max(F.struct("warc_ts", "shingle_hashes")).alias("_s"))
+            .select("url", F.col("_s.shingle_hashes").alias("shingle_hashes"))
+        )
+        all_sets = all_sets.unionByName(
+            latest.join(feats.select("url"), "url", "left_anti")
+        )
     cand = cand.distinct()
     a = all_sets.select(F.col("url").alias("url_a"), F.col("shingle_hashes").alias("_sa"))
     b = all_sets.select(F.col("url").alias("url_b"), F.col("shingle_hashes").alias("_sb"))
@@ -151,12 +189,21 @@ def process_near_dup_batch(
         batch_df, index, threshold=threshold, config=config,
         max_shingle_df=max_shingle_df,
     )
-    pairs.write.mode("overwrite").parquet(
-        os.path.join(pairs_dir, f"batch_id={batch_id}")
-    )
-    feats.write.mode("overwrite").parquet(
-        os.path.join(index_dir, f"batch_id={batch_id}")
-    )
+    # the feats subtree (the dominant per-batch cost: the fused shingle
+    # UDF) appears ~5x in the plans below (both self-join sides, both
+    # verify sides, the index append); persist the micro-batch once so the
+    # cache manager substitutes every occurrence. Micro-batches are
+    # trigger-bounded, so this is batch-sized, never index-sized.
+    feats = feats.persist()
+    try:
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={batch_id}")
+        )
+        feats.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+    finally:
+        feats.unpersist()
 
 
 def run_stream_near_dups(

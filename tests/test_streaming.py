@@ -442,3 +442,80 @@ def test_foreachbatch_pairs_invariant_to_batch_split(spark, config, tmp_path):
         }
     assert results[1] == results[3]
     assert len(results[1]) > 0  # the corpus plants real near-dups
+
+
+def test_foreachbatch_recrawl_no_self_pairs_latest_set_wins(spark, config, tmp_path):
+    """A url present in the index AND re-crawled in a later batch must not
+    pair with itself, must not emit duplicate pair rows, and must be
+    verified against its LATEST shingle set (the re-crawl supersedes the
+    indexed version)."""
+    import datetime
+
+    from dedup_spark.streaming.neardup import process_near_dup_batch
+
+    work = str(tmp_path / "w")
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string"
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # batch 0: u1 (old content), u2 near-dup of old u1
+    b0 = [("u1", ts, None, base, "en", "s"),
+          ("u2", ts, None, base + " lambda", "en", "s")]
+    # batch 1: u1 RE-CRAWLED with changed tail + u3 dup of the NEW u1
+    new_text = base + " mu nu xi omicron"
+    b1 = [("u1", ts + datetime.timedelta(hours=1), None, new_text, "en", "s"),
+          ("u3", ts + datetime.timedelta(hours=1), None, new_text, "en", "s")]
+    process_near_dup_batch(spark.createDataFrame(b0, schema), 0, work,
+                           threshold=0.5, config=config)
+    process_near_dup_batch(spark.createDataFrame(b1, schema), 1, work,
+                           threshold=0.5, config=config)
+    rows = spark.read.parquet(f"{work}/pairs").collect()
+    pairs = [(r.url_a, r.url_b) for r in rows]
+    assert all(a != b for a, b in pairs), f"self-pair in {pairs}"
+    # per-batch uniqueness; ACROSS batches a re-crawl legitimately
+    # re-emits its pairs as updated verdicts (latest batch_id wins)
+    for bid in {r.batch_id for r in rows}:
+        bp = [(r.url_a, r.url_b) for r in rows if r.batch_id == bid]
+        assert len(bp) == len(set(bp)), f"dup rows in batch {bid}: {bp}"
+    latest = {}
+    for r in sorted(rows, key=lambda r: r.batch_id):
+        latest[(r.url_a, r.url_b)] = r.jaccard
+    # (u1, u3): identical NEW texts -> jaccard exactly 1.0 only if u1 was
+    # verified against its latest set (vs the old set it is < 1)
+    assert latest.get(("u1", "u3")) == 1.0
+    # (u1, u2)'s latest verdict must reflect the RE-CRAWLED u1 (6 shared
+    # shingles, 10 + 7 distinct -> 6/11), superseding batch 0's 6/7
+    assert latest.get(("u1", "u2")) == round(6 / 11, 4)
+
+
+def test_foreachbatch_df_cap_engages_against_index(spark, config, tmp_path):
+    """A boilerplate shingle rare within each micro-batch but present in
+    many INDEXED pages must stop generating candidates once the combined
+    batch+index document frequency exceeds the cap."""
+    import datetime
+
+    from dedup_spark.streaming.neardup import process_near_dup_batch
+
+    work = str(tmp_path / "w")
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, source string"
+    )
+    ts = datetime.datetime(2024, 1, 1)
+    nav = "home about contact privacy terms"  # one shared 5-token shingle
+    # 6 indexed pages each carrying the nav shingle once, one per batch
+    for i in range(6):
+        rows = [(f"u{i}", ts, None, nav + f" pad{i}a pad{i}b pad{i}c pad{i}d pad{i}e",
+                 "en", "s")]
+        process_near_dup_batch(spark.createDataFrame(rows, schema), i, work,
+                               threshold=0.1, config=config, max_shingle_df=4)
+    rows = [("v1", ts, None, nav + " qa qb qc qd qe", "en", "s")]
+    process_near_dup_batch(spark.createDataFrame(rows, schema), 6, work,
+                           threshold=0.1, config=config, max_shingle_df=4)
+    got = {(r.url_a, r.url_b)
+           for r in spark.read.parquet(f"{work}/pairs").collect()}
+    # v1 shares ONLY the nav shingle with the 6 indexed pages; combined df
+    # (7) > cap (4), so no candidate may survive for batch 6
+    assert not any("v1" in p for p in got), f"boilerplate paired: {got}"
