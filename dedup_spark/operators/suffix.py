@@ -110,6 +110,11 @@ def suffix_repeat_pairs(
     toks = spill(toks, config, "suffix_toks")
 
     fps = toks.select("id", fingerprint_udf(config)("tok").alias("fps"))
+    # consumed by counts + the eligible semi-join + the hot semi-join, and
+    # the hot branch feeds salted_pairs_from_buckets which reads ITS input
+    # up to 4x — without a spill the O(tokens) fingerprint UDF re-runs per
+    # read (the exact violation the generator's docstring warns about)
+    fps = spill(fps, config, "suffix_fps")
     exploded = fps.select("id", F.explode("fps").alias("fp"))
     cap = (2**31 - 1) if pair_cap_all is None else pair_cap_all
     counts = exploded.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
@@ -144,9 +149,16 @@ def suffix_repeat_pairs(
     hot = exploded.join(hot_keys, "fp", "left_semi").select(
         "id", F.col("fp").alias("band_key")
     )
+    # pair_cap_cross = cap too: everything over the caller's cap goes
+    # straight to the salted star (the documented hot-bucket design). The
+    # generator's default mid tier (cap+1..1024, exhaustive in one task) is
+    # fine for 8-byte band keys but NOT here — each suffix pair carries two
+    # FULL token arrays through the verify join, so a 1024-member
+    # boilerplate bucket would ship C(1024,2)≈524k token-array pairs; the
+    # star bounds that to ~members x salts.
     hot_cand = salted_pairs_from_buckets(
         hot, channel="suffix", nsalt=config.bucket_salts, pair_cap_all=cap,
-        spill_dir=config.spill_dir,
+        pair_cap_cross=cap, spill_dir=config.spill_dir,
     ).select("id_a", "id_b")
     a = toks.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a"))
     b = toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b"))
