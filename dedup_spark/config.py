@@ -87,9 +87,12 @@ class DedupConfig:
     suffix_enabled: bool = False
 
     # --- skew handling (N10) ---
-    # LSH buckets larger than this are salted/split before the pair self-join;
-    # a bucket of n rows emits n*(n-1)/2 pairs, so cap the quadratic blowup.
-    bucket_cap: int = 2000
+    # Bucket-size tier routing lives in operators/lsh.py
+    # (PAIR_CAP_ALL/PAIR_CAP_CROSS — generator-level constants, overridable
+    # per call site); the config knob here is the salt count for the
+    # ultra-hot star tier. (A former `bucket_cap` field was dead — nothing
+    # read it while the generator constants governed routing — and was
+    # removed rather than left describing behavior that didn't exist.)
     bucket_salts: int = 8
 
     # --- connected components (N8) ---

@@ -112,11 +112,17 @@ class CheckpointedRun:
 
     def _atomic_write(self, df: DataFrame, path: str, partition_by: str | None = None) -> None:
         # underscore prefix: Spark readers ignore leftover staging dirs from
-        # crashed runs, so a resume never mistakes one for a data partition
-        staging = os.path.join(
-            os.path.dirname(path),
-            f"_staging_{os.path.basename(path)}_{uuid.uuid4().hex[:8]}",
-        )
+        # crashed runs, so a resume never mistakes one for a data partition.
+        # A crash between the staging write and os.replace leaves an orphan
+        # no later read references — reclaim any orphan for THIS target now
+        # (same-path writes are single-threaded by the stage contract), so
+        # repeated crashes can't accumulate unbounded dead parquet.
+        parent, base = os.path.dirname(path), os.path.basename(path)
+        if os.path.isdir(parent):
+            for entry in os.listdir(parent):
+                if entry.startswith(f"_staging_{base}_"):
+                    shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        staging = os.path.join(parent, f"_staging_{base}_{uuid.uuid4().hex[:8]}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
@@ -478,7 +484,11 @@ def _pairs_stage(
                  os.path.join(run.root, "stage=pairs_meta")):
         if os.path.isdir(base):
             for entry in os.listdir(base):
-                if entry != keep and not entry.startswith("_staging_"):
+                # superseded versions AND orphaned staging dirs (a crash
+                # between staging write and rename for any PRIOR version
+                # name; the current version's staging was just renamed
+                # away, so every remaining _staging_* here is dead)
+                if entry != keep:
                     shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     run.computed.append(name)
     run.pairs_mode = mode

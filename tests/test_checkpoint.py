@@ -166,3 +166,23 @@ def test_metrics_table(spark, pages, config, root):
     assert {"stage", "partition", "rows", "wall_s", "docs_per_sec"} <= set(m.columns)
     assert (m.rows > 0).any()
     assert "members" in set(m.stage)
+
+
+def test_atomic_write_reclaims_crashed_staging_orphans(spark, config, tmp_path):
+    """A crash between the staging write and the rename leaves an orphan
+    _staging_<target>_* dir; the next write of the same target must reclaim
+    it (repeated crashes on a long-lived checkpoint root must not
+    accumulate unbounded dead parquet)."""
+    root = str(tmp_path / "ck")
+    os.makedirs(os.path.join(root, "stage=pairs"), exist_ok=True)
+    run = CheckpointedRun(spark, root, config)
+    target = os.path.join(root, "stage=pairs", "v_abc")
+    orphan = os.path.join(root, "stage=pairs", "_staging_v_abc_deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    run._atomic_write(spark.range(3).toDF("id"), target)
+    entries = os.listdir(os.path.join(root, "stage=pairs"))
+    assert "v_abc" in entries
+    assert not any(e.startswith("_staging_") for e in entries), entries
+    assert spark.read.parquet(target).count() == 3
