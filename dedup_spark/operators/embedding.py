@@ -124,6 +124,45 @@ def banding_for_threshold(
 
 _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit golden-ratio constant
 
+# prototype-block width for the nearest-prototype kernels: above this k the
+# (batch, k) cosine matrix stops being materialized (4096 rows x 8192 cols
+# x 8 B = 256 MB is the per-worker ceiling) and the argmax runs blocked
+_PROTO_BLOCK = 8192
+
+
+def _blocked_rounded_argmax(
+    X: np.ndarray,
+    P: np.ndarray,
+    pn: np.ndarray,
+    xn: np.ndarray,
+    round_cosine: int,
+    block: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n,) first-max argmax + max of round(cos(X, P), round_cosine) over
+    prototype blocks — never materializes the full (n, k) matrix. Bitwise
+    identical to the one-shot `round(X @ P.T / ...).argmax(axis=1)`: each
+    cosine column is the same full-dim dot product whichever block computes
+    it, and the strict-> update keeps the earliest block on ties, matching
+    global argmax's first-max rule. SemDeDup/IVF-realistic prototype counts
+    (tens of thousands) stay memory-bounded per Arrow batch."""
+    n, k = len(X), P.shape[0]
+    b = _PROTO_BLOCK if block is None else block
+    rows = np.arange(n)
+    best_v = np.full(n, -np.inf)
+    best_i = np.zeros(n, dtype=np.int64)
+    for s in range(0, k, b):
+        Pb = P[s : s + b]
+        Cb = np.round(
+            (X @ Pb.T) / (xn[:, None] * pn[None, s : s + b]),
+            round_cosine,
+        )
+        bi = Cb.argmax(axis=1)
+        bv = Cb[rows, bi]
+        upd = bv > best_v
+        best_v = np.where(upd, bv, best_v)
+        best_i = np.where(upd, bi + s, best_i)
+    return best_i.astype(np.int64), best_v
+
 
 def _band_keys_numpy(
     X: np.ndarray, H: np.ndarray, bands: int, rows_per_band: int
@@ -357,6 +396,36 @@ def domain_assign(
         C = (X @ P.T) / (xn[:, None] * pn[None, :])
         return pd.Series(list(C))  # ndarray row views, never Python lists
 
+    if k > 256:
+        # large-k path: the JVM greatest over k struct children stops
+        # fitting whole-stage codegen (64 KB method bound) and the
+        # k-element cosine array costs k*8 B per row — pick the winner
+        # inside the UDF with the blocked first-max kernel instead (same
+        # round-before-argmax + smallest-domain tie rule; identity to the
+        # JVM path pinned in tests/test_embedding.py at k>256)
+        from pyspark.sql.types import StructField, StructType
+
+        best_schema = StructType(
+            [
+                StructField("domain_id", LongType()),
+                StructField("cosine", DoubleType()),
+            ]
+        )
+
+        @F.pandas_udf(best_schema)
+        def _best(emb: pd.Series) -> pd.DataFrame:
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
+            xn = np.sqrt((X * X).sum(axis=1))
+            dom, val = _blocked_rounded_argmax(X, P, pn, xn, round_cosine)
+            return pd.DataFrame({"domain_id": dom, "cosine": val})
+
+        b = vectors.select(F.col(id_col), _best(vec_col).alias("_b"))
+        return b.select(
+            F.col(id_col),
+            F.col("_b.domain_id").alias("domain_id"),
+            F.col("_b.cosine").alias("cosine"),
+        )
+
     scored = vectors.select(F.col(id_col), _cos(vec_col).alias("_c"))
     best = F.greatest(
         *[
@@ -412,8 +481,10 @@ def semantic_dedup(
     skew-proof, never a cross join), verification is exact JVM cosine on the
     rounded value, two 8-byte-id equi-joins tag pair endpoints with domains,
     hash-min connected components merge the surviving edges (O(log d)
-    pointer-doubled rounds), and one count window keyed by the 8-byte rep_id
-    yields cluster sizes. Near-identical vectors almost always share a
+    pointer-doubled rounds), and cluster sizes come from a map-side-combined
+    groupBy(rep_id) count joined back (AQE-skew-splittable either side —
+    never a count window, whose partition would funnel a degenerate giant
+    cluster through one task). Near-identical vectors almost always share a
     nearest prototype, so the same-domain filter drops few candidates;
     folding domain_id into the band key would prune them pre-shuffle but
     buys little because verification is already candidate-bounded.
@@ -445,16 +516,34 @@ def semantic_dedup(
         ]
     )
 
+    # captured at DEFINITION time so the switch ships with the closure
+    # (workers re-import the module; a runtime global read would see the
+    # default there)
+    proto_block = _PROTO_BLOCK
+
     @F.pandas_udf(feat_schema)
     def _feats(emb: pd.Series) -> pd.DataFrame:
         X = np.vstack([np.asarray(v, dtype=np.float64) for v in emb])
-        Y = X @ M  # (n, k + n_bits)
         xn = np.sqrt((X * X).sum(axis=1))
-        C = np.round(Y[:, :k] / (xn[:, None] * pn[None, :]), round_cosine)
-        # first max = smallest domain_id: identical to domain_assign's JVM
-        # greatest-struct tie rule (pinned by the brute-force identity test)
-        dom = C.argmax(axis=1).astype(np.int64)
-        keys = _pack_band_keys(Y[:, k:] > 0, bands, rows_per_band)
+        if k <= proto_block:
+            # fused path (measured win at small k: one BLAS call does
+            # prototypes + hyperplanes)
+            Y = X @ M  # (n, k + n_bits)
+            C = np.round(Y[:, :k] / (xn[:, None] * pn[None, :]), round_cosine)
+            # first max = smallest domain_id: identical to domain_assign's
+            # JVM greatest-struct tie rule (pinned by the identity test)
+            dom = C.argmax(axis=1).astype(np.int64)
+            bits = Y[:, k:] > 0
+        else:
+            # large-k path: never materialize (n, k) — blocked running
+            # first-max (bitwise identical: each cosine column is the same
+            # full-dim dot product; strict > keeps the earliest block on
+            # ties, matching global argmax's first-max rule)
+            dom, _ = _blocked_rounded_argmax(
+                X, P, pn, xn, round_cosine, block=proto_block
+            )
+            bits = (X @ H) > 0
+        keys = _pack_band_keys(bits, bands, rows_per_band)
         # Fold the domain into every band key: only SAME-domain pairs are
         # edges, so vectors from different domains must never share a
         # bucket — cross-domain candidates are pruned BEFORE the verify
@@ -494,22 +583,25 @@ def semantic_dedup(
     from dedup_spark.operators.lsh import PAIR_CAP_CROSS
 
     sizes = feats.groupBy("domain_id").agg(F.count(F.lit(1)).alias("_n"))
-    # bounded collect: <= one row per prototype (k rows), never per vector
-    big = [
-        r["domain_id"]
-        for r in sizes.filter(F.col("_n") > PAIR_CAP_CROSS).collect()
-    ]
-    small = feats if not big else feats.filter(
-        ~F.col("domain_id").isin(*big)
+    # over-cap domain LIST is bounded (<= one row per prototype) but can
+    # still be thousands at SemDeDup-realistic k — route via a broadcast
+    # join, never isin(*literals) (a k-literal plan blows up analysis and
+    # codegen long before the data is a problem)
+    big_df = sizes.filter(F.col("_n") > PAIR_CAP_CROSS).select("domain_id")
+    n_big = big_df.count()
+    small = (
+        feats
+        if not n_big
+        else feats.join(F.broadcast(big_df), "domain_id", "left_anti")
     )
     exploded = small.select(
         F.col("_sd_id").alias("id"),
         F.xxhash64(F.lit("semdedup_domain"), "domain_id").alias("band_key"),
         F.col("domain_id").alias("_dom"),
     )
-    if big:
+    if n_big:
         exploded = exploded.unionByName(
-            feats.filter(F.col("domain_id").isin(*big)).select(
+            feats.join(F.broadcast(big_df), "domain_id", "left_semi").select(
                 F.col("_sd_id").alias("id"),
                 F.explode("band_keys").alias("band_key"),
                 F.col("domain_id").alias("_dom"),
@@ -547,12 +639,19 @@ def semantic_dedup(
         )
         .withColumn("rep_id", F.coalesce("cluster_id", F.col(id_col)))
     )
-    w = Window.partitionBy("rep_id")
-    return out.select(
+    # cluster sizes via groupBy + join, NOT a count window: a window
+    # partition funnels a whole cluster through ONE task's sort buffer and
+    # is exempt from AQE skew splitting — a degenerate giant cluster
+    # (zero/padding vectors, boilerplate) would become a single straggler.
+    # The aggregate is map-side combined and the join shuffle AQE-splits.
+    csize = out.groupBy("rep_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return out.join(csize, "rep_id").select(
         F.col(id_col),
         "domain_id",
         "rep_id",
-        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        "cluster_size",
         (F.col(id_col) == F.col("rep_id")).alias("keep"),
     )
 
@@ -576,22 +675,32 @@ def train_centroids(
     (deterministic); on a corpus whose id-prefix is biased, pre-filter with a
     hash sample (pmod(xxhash64(id), m) == 0) before calling. Ties and empty
     cells resolve deterministically (stable argmax; an emptied cell keeps its
-    previous centroid)."""
+    previous centroid).
+
+    Driver memory is bounded at any n_centroids: the sample arrives as ONE
+    Arrow batch (toPandas, never per-Row python objects), the default
+    sample is capped at 1M vectors (the FAISS-style 32/centroid rule,
+    clamped — pass sample_size explicitly to override), and the assignment
+    step never materializes the full (sample, k) score matrix: it argmaxes
+    in row blocks sized so each block's scores stay ~256 MB."""
     if sample_size is None:
-        sample_size = max(2048, 32 * n_centroids)
-    rows = (
-        vectors.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col))
+        sample_size = min(max(2048, 32 * n_centroids), 1_000_000)
+    pdf = (
+        vectors.orderBy(F.col(id_col))
         .limit(sample_size)
-        .collect()
+        .select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .toPandas()
     )
-    X = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(X))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    row_block = max(1, (1 << 25) // max(k, 1))  # ~256 MB of float64 scores
+    assign = np.empty(len(X), dtype=np.int64)
     for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)
+        for s in range(0, len(X), row_block):
+            assign[s : s + row_block] = np.argmax(X[s : s + row_block] @ C.T, axis=1)
         for c in range(k):
             members = X[assign == c]
             if len(members):
