@@ -222,12 +222,28 @@ def salted_pairs_from_buckets(
         .select("p.id_a", "p.id_b")
     )
 
-    # ultra-hot buckets: per-salt sub-buckets, every task bounded by
-    # ~bucket/nsalt; sub-lists are used as-is (never re-assembled per key)
-    hot_keys = counts.filter(F.col("_n") > F.lit(pair_cap_cross)).select(*_KEYS)
+    # ultra-hot buckets: per-salt sub-buckets. The salt count scales with
+    # the bucket (_n is already computed): ceil(_n / pair_cap_cross) salts
+    # — floored at the configured nsalt — so per-task collect_list payload
+    # is bounded by ~pair_cap_cross members NO MATTER the bucket size (a
+    # fixed salt count would make the "bucket/nsalt per task" claim
+    # unbounded: a 10^8-member boilerplate bucket at nsalt=8 is 1.25e7
+    # members in one aggregation buffer). Behavior is unchanged below
+    # nsalt*pair_cap_cross members. Sub-lists are used as-is (never
+    # re-assembled per key); salt derives from (_n, id) only, so retries
+    # and speculative attempts re-derive it identically.
+    hot = exploded.join(
+        counts.filter(F.col("_n") > F.lit(pair_cap_cross)).select(*_KEYS, "_n"),
+        _KEYS,
+    ).withColumn(
+        "_ns",
+        F.greatest(
+            F.lit(nsalt),
+            F.ceil(F.col("_n") / F.lit(pair_cap_cross)).cast("int"),
+        ),
+    )
     sub = (
-        exploded.join(hot_keys, _KEYS, "left_semi")
-        .withColumn("salt", F.pmod(F.xxhash64("id"), F.lit(nsalt)))
+        hot.withColumn("salt", F.pmod(F.xxhash64("id"), F.col("_ns")))
         .groupBy(*_KEYS, "salt")
         .agg(F.sort_array(F.collect_list(member)).alias("members"))
     )
@@ -242,13 +258,23 @@ def salted_pairs_from_buckets(
         )
         .select("p.id_a", "p.id_b")
     )
-    # level 2: connect sub-buckets — all pairs among the <= nsalt hubs
+    # level 2: connect sub-buckets via their hubs. Few hubs (the common
+    # case: _ns salts) pair exhaustively; past pair_cap_cross hubs (bucket
+    # > pair_cap_cross^2 members) the hubs themselves ride a star — the
+    # same hub-of-hubs connectivity argument one level up, keeping level-2
+    # pair volume linear in hub count instead of quadratic.
     hubs = sub.groupBy(*_KEYS).agg(
         F.sort_array(F.collect_set(F.element_at(members, 1))).alias("members")
     )
     level2 = (
         hubs.filter(n >= 2)
-        .select(F.explode(_all_pairs(members, pred)).alias("p"))
+        .select(
+            F.explode(
+                F.when(
+                    n <= F.lit(pair_cap_cross), _all_pairs(members, pred)
+                ).otherwise(_star_pairs(members, pred))
+            ).alias("p")
+        )
         .select("p.id_a", "p.id_b")
     )
     raw = smallmid.unionByName(level1).unionByName(level2)

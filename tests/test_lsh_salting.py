@@ -279,3 +279,38 @@ def test_dedup_false_equals_distinct_of_dedup_true(exploded):
     # non-vacuous: the raw output really does carry cross-bucket duplicates
     # (the bridge doc c0000 co-buckets pairs in two bands)
     assert len(raw) >= len(dd)
+
+
+def test_ultra_hot_star_salt_count_scales_with_bucket(spark):
+    """A bucket far beyond nsalt*pair_cap_cross must still (a) connect all
+    members through the two-level star (CC closure = the whole bucket) and
+    (b) bound every per-salt sub-bucket near pair_cap_cross members — the
+    salt count scales as ceil(n / pair_cap_cross) instead of staying at the
+    configured floor (a fixed count would put n/nsalt members in ONE
+    aggregation task at any bucket size)."""
+    from dedup_spark.operators.lsh import salted_pairs_from_buckets
+
+    n, cross = 5000, 256
+    exploded = spark.range(n).select(
+        F.col("id"), F.lit(7).cast("long").alias("band_key")
+    )
+    pairs = salted_pairs_from_buckets(
+        exploded, channel="t", nsalt=4, pair_cap_all=64, pair_cap_cross=cross
+    ).select("id_a", "id_b").collect()
+    # (a) closure covers the whole bucket
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            parent[ra] = rb
+    assert len({find(i) for i in range(n)}) == 1
+    # (b) pair volume is star-linear, not quadratic (exhaustive would be
+    # ~12.5M; two-level star stays within a few multiples of n)
+    assert len(pairs) < 6 * n, len(pairs)
