@@ -144,7 +144,16 @@ def _blocked_rounded_argmax(
     cosine column is the same full-dim dot product whichever block computes
     it, and the strict-> update keeps the earliest block on ties, matching
     global argmax's first-max rule. SemDeDup/IVF-realistic prototype counts
-    (tens of thousands) stay memory-bounded per Arrow batch."""
+    (tens of thousands) stay memory-bounded per Arrow batch.
+
+    Rounding-mode caveat vs domain_assign's k<=256 JVM path: np.round is
+    half-even while F.round is HALF_UP, so the two paths agree only when no
+    cosine lands exactly on a .5 tie at the round_cosine digit. Computed
+    float64 cosines (a dot-product quotient) cannot represent an exact
+    decimal .00005 tie except on measure-zero inputs, the same assumption
+    the pre-existing _feats rounding precedent already makes — but the two
+    code paths are not STRICTLY bitwise-identical across the k=256
+    boundary."""
     n, k = len(X), P.shape[0]
     b = _PROTO_BLOCK if block is None else block
     rows = np.arange(n)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -116,11 +117,17 @@ class CheckpointedRun:
         # A crash between the staging write and os.replace leaves an orphan
         # no later read references — reclaim any orphan for THIS target now
         # (same-path writes are single-threaded by the stage contract), so
-        # repeated crashes can't accumulate unbounded dead parquet.
+        # repeated crashes can't accumulate unbounded dead parquet. The match
+        # is the EXACT staging shape (base + 8-hex suffix), not a prefix:
+        # partitioned_stage writes sibling partitions concurrently, and a
+        # partition value that extends this one past an underscore (e.g.
+        # part=web vs part=web_2024) must never have its live staging dir
+        # reclaimed by this target's sweep.
         parent, base = os.path.dirname(path), os.path.basename(path)
         if os.path.isdir(parent):
+            pat = re.compile(re.escape(f"_staging_{base}_") + r"[0-9a-f]{8}\Z")
             for entry in os.listdir(parent):
-                if entry.startswith(f"_staging_{base}_"):
+                if pat.fullmatch(entry):
                     shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         staging = os.path.join(parent, f"_staging_{base}_{uuid.uuid4().hex[:8]}")
         w = df.write.mode("overwrite")
