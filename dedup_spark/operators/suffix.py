@@ -84,53 +84,23 @@ def _bucket_verify_fn(min_run: int):
     return fn
 
 
-def suffix_repeat_pairs(
-    docs: DataFrame,
-    config: DedupConfig = DEFAULT_CONFIG,
-    id_col: str = "id",
-    text_col: str = "text",
-    pair_cap_all: int | None = None,
+def verify_fp_buckets(
+    exploded: DataFrame, toks: DataFrame, config: DedupConfig
 ) -> DataFrame:
-    """docs(id, text) -> (id_a, id_b, run_tokens, channel='suffix') for pairs
-    sharing a repeated run of >= config.suffix_min_run_tokens tokens.
+    """Exact SA verification over SMALL fingerprint buckets.
 
-    Exhaustive by default (pair_cap_all=None: recall 1.0 — the winnowing
-    fingerprint guarantee plus exact SA verification); pass a cap to bound
-    SA-group size and switch hot fingerprint buckets to the salted star when
-    only CC connectivity is needed at scale.
-    """
-    from dedup_spark.plans.pipeline import spill
-
-    toks = docs.select(
-        F.col(id_col).alias("id"), token_hashes(text_col).alias("tok")
-    ).filter(F.size("tok") > 0)
-    # wide array column consumed by fingerprints + both verify paths:
-    # parquet spill-checkpoint, NOT .persist() (on-heap columnar cache of
-    # wide arrays anti-scales; see config.spill_dir)
-    toks = spill(toks, config, "suffix_toks")
-
-    fps = toks.select("id", fingerprint_udf(config)("tok").alias("fps"))
-    # consumed by counts + the eligible semi-join + the hot semi-join, and
-    # the hot branch feeds salted_pairs_from_buckets which reads ITS input
-    # up to 4x — without a spill the O(tokens) fingerprint UDF re-runs per
-    # read (the exact violation the generator's docstring warns about)
-    fps = spill(fps, config, "suffix_fps")
-    exploded = fps.select("id", F.explode("fps").alias("fp"))
-    cap = (2**31 - 1) if pair_cap_all is None else pair_cap_all
-    counts = exploded.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
-    hot_keys = counts.filter(F.col("_n") > F.lit(cap)).select("fp")
-
-    # small buckets: keep only 2..cap-member buckets before the heavy
-    # collect_list (singleton fingerprints — the vast majority — can never
-    # pair), then dedupe by member set (one SA per distinct doc set, not per
-    # fingerprint)
-    eligible = counts.filter(
-        (F.col("_n") >= 2) & (F.col("_n") <= F.lit(cap))
-    ).select("fp")
+    exploded(id, fp) lists bucket membership (caller guarantees every bucket
+    is within the exhaustive cap), toks(id, tok) supplies token arrays for at
+    least every id in `exploded`. Buckets are deduped by member SET first
+    (near-dup pairs share many fingerprints: one suffix array per distinct
+    doc set, not per fingerprint), then one SA + Kasai LCP per set extracts
+    (id_a, id_b, run_tokens) for every pair sharing a run of
+    >= config.suffix_min_run_tokens tokens. Shared by the full channel
+    (suffix_repeat_pairs below) and the incremental resume path
+    (plans/incremental.py), so the two can never drift."""
     id_type = dict(zip(toks.schema.names, toks.schema))["id"].dataType.simpleString()
     small_sets = (
-        exploded.join(eligible, "fp", "left_semi")
-        .groupBy("fp")
+        exploded.groupBy("fp")
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
         .filter(F.size("members") >= 2)
         .select("members")
@@ -140,9 +110,90 @@ def suffix_repeat_pairs(
     flat = small_sets.select("bkt", F.explode("members").alias("id")).join(
         toks, "id"
     )
-    small_pairs = flat.groupBy("bkt").applyInPandas(
+    return flat.groupBy("bkt").applyInPandas(
         _bucket_verify_fn(config.suffix_min_run_tokens),
         schema=f"id_a {id_type}, id_b {id_type}, run_tokens long",
+    )
+
+
+def suffix_repeat_pairs(
+    docs: DataFrame,
+    config: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "id",
+    text_col: str = "text",
+    pair_cap_all: int | None = None,
+    fps_col: str | None = None,
+) -> DataFrame:
+    """docs(id, text) -> (id_a, id_b, run_tokens, channel='suffix') for pairs
+    sharing a repeated run of >= config.suffix_min_run_tokens tokens.
+
+    Exhaustive by default (pair_cap_all=None: recall 1.0 — the winnowing
+    fingerprint guarantee plus exact SA verification); pass a cap to bound
+    SA-group size and switch hot fingerprint buckets to the salted star when
+    only CC connectivity is needed at scale.
+
+    `fps_col`: name of a precomputed array<long> winnow-fingerprint column
+    on `docs` (the checkpointed path stores per-doc fingerprints in the
+    per-partition prepared stage so a resume never re-winnows unchanged
+    partitions — plans/checkpoint.py). When given, the O(tokens) winnow UDF
+    is skipped entirely and token arrays are built for ONLY the docs that
+    land in a pair-capable bucket (the boilerplate-heavy minority), instead
+    of the whole corpus.
+    """
+    from dedup_spark.plans.pipeline import spill
+
+    if fps_col is None:
+        toks = docs.select(
+            F.col(id_col).alias("id"), token_hashes(text_col).alias("tok")
+        ).filter(F.size("tok") > 0)
+        # wide array column consumed by fingerprints + both verify paths:
+        # parquet spill-checkpoint, NOT .persist() (on-heap columnar cache of
+        # wide arrays anti-scales; see config.spill_dir)
+        toks = spill(toks, config, "suffix_toks")
+
+        fps = toks.select("id", fingerprint_udf(config)("tok").alias("fps"))
+        # consumed by counts + the eligible semi-join + the hot semi-join, and
+        # the hot branch feeds salted_pairs_from_buckets which reads ITS input
+        # up to 4x — without a spill the O(tokens) fingerprint UDF re-runs per
+        # read (the exact violation the generator's docstring warns about)
+        fps = spill(fps, config, "suffix_fps")
+    else:
+        # precomputed fingerprints: column-pruned reads of the caller's
+        # already-materialized docs (no UDF behind them), so no spill needed
+        fps = docs.select(
+            F.col(id_col).alias("id"), F.col(fps_col).alias("fps")
+        ).filter(F.col("fps").isNotNull())
+    exploded = fps.select("id", F.explode("fps").alias("fp"))
+    cap = (2**31 - 1) if pair_cap_all is None else pair_cap_all
+    counts = exploded.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+    hot_keys = counts.filter(F.col("_n") > F.lit(cap)).select("fp")
+    if fps_col is not None:
+        # token arrays only for docs both verify paths can actually touch:
+        # members of some >= 2-member bucket
+        needed = (
+            exploded.join(
+                counts.filter(F.col("_n") >= 2).select("fp"), "fp", "left_semi"
+            )
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        toks = spill(
+            docs.join(needed, id_col, "left_semi")
+            .select(F.col(id_col).alias("id"), token_hashes(text_col).alias("tok"))
+            .filter(F.size("tok") > 0),
+            config,
+            "suffix_toks",
+        )
+
+    # small buckets: keep only 2..cap-member buckets before the heavy
+    # collect_list (singleton fingerprints — the vast majority — can never
+    # pair), then dedupe by member set (one SA per distinct doc set, not per
+    # fingerprint)
+    eligible = counts.filter(
+        (F.col("_n") >= 2) & (F.col("_n") <= F.lit(cap))
+    ).select("fp")
+    small_pairs = verify_fp_buckets(
+        exploded.join(eligible, "fp", "left_semi"), toks, config
     )
 
     # hot buckets: salted star candidates + per-pair exact verification

@@ -106,9 +106,12 @@ class CheckpointedRun:
         # metrics.jsonl is append-shared across concurrently-finishing
         # partitions (row ORDER is completion order; the table is read back
         # order-free as a DataFrame)
+        row = asdict(rec)
+        row["docs_per_sec"] = round(rec.rows / rec.wall_s, 2) if rec.wall_s else None
+        self._append_metrics(row)
+
+    def _append_metrics(self, row: dict) -> None:
         with self._lock, open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
-            row = asdict(rec)
-            row["docs_per_sec"] = round(rec.rows / rec.wall_s, 2) if rec.wall_s else None
             f.write(json.dumps(row) + "\n")
 
     def _atomic_write(self, df: DataFrame, path: str, partition_by: str | None = None) -> None:
@@ -321,11 +324,22 @@ def run_dedup_checkpointed(
     sig_udf = doc_signature_udf(
         config, include_signature=False, include_shingles=False
     )
+    # suffix channel on: the per-partition stage ALSO computes each doc's
+    # winnowed fingerprints (the O(tokens) part of the suffix channel), so a
+    # resume re-winnows only changed partitions and the pairs stage can
+    # bucket/diff the suffix channel from stored columns — the same
+    # re-sign-one-partition story the simhash/bands features get. The
+    # signature config digest covers the winnow knobs (plans/incremental.py)
+    # so stale fingerprints can never replay under a changed config.
+    if config.suffix_enabled:
+        from dedup_spark.operators.suffix import fingerprint_udf
+
+        sfp_udf = fingerprint_udf(config)
 
     def _build(p: str) -> DataFrame:
         ing = ingest_pages(pages.filter(F.col(partition_col) == p), config)
         has_tok = F.size("_tok") > 0
-        return (
+        out = (
             ing.select(
                 "url", "warc_ts", "text", "lang",
                 F.lit(p).alias("source"),
@@ -336,12 +350,15 @@ def run_dedup_checkpointed(
                 "url", "warc_ts", "text", "lang", "source", "content_hash",
                 "_tok", sig_udf(F.col("_tok")).alias("_s"),
             )
-            .select(
-                "url", "warc_ts", "text", "lang", "source", "content_hash",
-                F.when(has_tok, F.col("_s.simhash")).alias("simhash"),
-                F.when(has_tok, F.col("_s.bands")).alias("bands"),
-            )
         )
+        cols = [
+            "url", "warc_ts", "text", "lang", "source", "content_hash",
+            F.when(has_tok, F.col("_s.simhash")).alias("simhash"),
+            F.when(has_tok, F.col("_s.bands")).alias("bands"),
+        ]
+        if config.suffix_enabled:
+            cols.append(F.when(has_tok, sfp_udf(F.col("_tok"))).alias("sfps"))
+        return out.select(*cols)
 
     prepared = run.partitioned_stage("prepared", parts, _build, fps)
 
@@ -412,10 +429,13 @@ def _pairs_stage(
     (pairs parquet + bucket-fingerprint and doc-signature sidecars) under the
     SAME pairs-config digest, only the changed buckets regenerate and the
     rest of the cached pair set is reused (plans/incremental.py has the
-    correctness model). Any violated invariant — config drift, suffix channel
-    on, ultra-hot near bucket, missing sidecars — falls back to the full
-    recompute, never to a silent approximation. run.pairs_mode records which
-    path ran ("replay" / "incremental" / "full" / "full(<reason>)")."""
+    correctness model; the suffix channel participates via per-doc stored
+    winnow fingerprints). Any violated invariant — config drift, ultra-hot
+    near/suffix bucket, missing sidecars — falls back to the full recompute,
+    never to a silent approximation. run.pairs_mode records which path ran
+    ("replay" / "incremental" / "full" / "full(<reason>)"), and every
+    computed resolution also lands in metrics.jsonl as an event="pairs_mode"
+    row carrying the reason."""
     from dedup_spark.plans.incremental import (
         bucket_fingerprints,
         doc_signatures,
@@ -454,15 +474,21 @@ def _pairs_stage(
         old_path, old_buckets, old_docsig = _pairs_paths(
             run.root, marker["fingerprint"]
         )
-    can_incr = (
-        marker is not None
-        and marker["fingerprint"].startswith(prefix)
-        and not config.suffix_enabled
-        and os.path.exists(old_path)
+    # why the stage resolved the way it did — a 100 TB operator reading
+    # metrics.jsonl must be able to see WHY a resume went full-cost
+    if marker is None:
+        reason = "cold_no_marker"
+    elif not marker["fingerprint"].startswith(prefix):
+        reason = "config_drift"
+    elif not (
+        os.path.exists(old_path)
         and os.path.exists(old_buckets)
         and os.path.exists(old_docsig)
-    )
-    if can_incr:
+    ):
+        reason = "missing_artifacts"
+    else:
+        reason = None
+    if reason is None:
         df, why = incremental_pairs(
             prepared,
             run.spark.read.parquet(old_path),
@@ -473,6 +499,7 @@ def _pairs_stage(
             config,
         )
         mode = why if df is not None else f"full({why})"
+        reason = why
     if df is None:
         df = full_pairs(prepared, config)
     # write the NEW version (never touching the old one the plan still
@@ -499,6 +526,19 @@ def _pairs_stage(
                     shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     run.computed.append(name)
     run.pairs_mode = mode
+    # the resolution row: how (and why) the pairs stage ran. Written only on
+    # the COMPUTED paths — a pure replay appends nothing (pinned by
+    # tests/test_checkpoint.py's replay-adds-no-rows assertion).
+    run._append_metrics(
+        {
+            "stage": name,
+            "partition": "",
+            "event": "pairs_mode",
+            "mode": mode,
+            "reason": reason,
+            "finished_ts": time.time(),
+        }
+    )
     return out
 
 

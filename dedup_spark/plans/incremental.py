@@ -36,11 +36,21 @@ full recompute could disagree on:
   `simhash_exploded_keys` / xxhash64(text)) so fingerprints can never drift
   from what the generators bucket on.
 
+- suffix pairs (r5) are pair-local for MEMBERSHIP below the star cap: the
+  winnowing guarantee plus exact SA verification means "(a, b) emitted" is a
+  property of (tok_a, tok_b) alone — any pair sharing a >= min_run token run
+  shares a fingerprint, and the bucket SA emits exactly the qualifying pairs
+  of its members. Cached suffix rows are therefore kept iff both endpoints
+  are unchanged, and stale fingerprint buckets (fingerprints are per-doc
+  columns in the prepared stage when `suffix_enabled`, so the sidecar sees
+  them) are re-verified whole over their full current membership. Above
+  `PAIR_CAP_ALL` the channel switches to the salted star (connectivity-only
+  emission depends on other members) — any old or new suffix bucket over
+  that cap refuses to the full path, mirroring the near-channel guard.
+
 Identity to the full recompute is property-pinned in
 tests/test_incremental.py (random edits across partitions, pair-set and
-members equality). The suffix channel is not bucket-local (winnowed
-fingerprint buckets feed a suffix-array verify whose output depends on
-cross-doc runs); `suffix_enabled` forces the full path.
+members equality), including a suffix-enabled case.
 """
 
 from __future__ import annotations
@@ -54,6 +64,7 @@ from dedup_spark.config import DedupConfig
 from dedup_spark.operators.exact import exact_dup_members
 from dedup_spark.operators.ids import assign_dense_ids
 from dedup_spark.operators.lsh import (
+    PAIR_CAP_ALL,
     PAIR_CAP_CROSS,
     explode_bands,
     salted_pairs_from_buckets,
@@ -88,6 +99,18 @@ def signature_config_digest(config: DedupConfig) -> str:
             "simhash_bits": config.simhash_bits,
             "drop_empty_text": config.drop_empty_text,
             "dedup_url_keep": config.dedup_url_keep,
+            # when the suffix channel is on, the prepared stage also carries
+            # per-doc winnowed fingerprints (the `sfps` column the suffix
+            # incremental path buckets on), so the prepared features depend
+            # on the winnow knobs too. None when off: toggling the channel
+            # either way recomputes prepared once (off->on must — the column
+            # is missing; on->off pays one redundant re-sign for a much
+            # simpler invariant).
+            "suffix": (
+                (config.suffix_min_run_tokens, config.suffix_winnow_w)
+                if config.suffix_enabled
+                else None
+            ),
         }
     )
 
@@ -196,11 +219,21 @@ def bucket_fingerprints(prepared: DataFrame, config: DedupConfig) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.bit_xor("_dh").alias("h"))
         .select(F.lit("simhash").alias("channel"), "bkey", "n", "h")
     )
-    return (
-        exact.unionByName(minhash)
-        .unionByName(simhash)
-        .filter(F.col("n") >= 2)
-    )
+    out = exact.unionByName(minhash).unionByName(simhash)
+    if config.suffix_enabled and "sfps" in prepared.columns:
+        # winnowed-fingerprint buckets: the per-doc fps come from the
+        # prepared stage (same column the regen path buckets on), so the
+        # fingerprint can never drift from what the channel buckets on
+        suffix = (
+            prepared.filter(F.col("sfps").isNotNull())
+            .select(F.xxhash64("url", "text").alias("_dh"),
+                    F.explode("sfps").alias("bkey"))
+            .groupBy("bkey")
+            .agg(*agg)
+            .select(F.lit("suffix").alias("channel"), "bkey", "n", "h")
+        )
+        out = out.unionByName(suffix)
+    return out.filter(F.col("n") >= 2)
 
 
 def full_pairs(
@@ -219,13 +252,12 @@ def full_pairs(
 
     if config.suffix_enabled and "suffix" not in channels:
         channels = channels + ("suffix",)
-    with_ids = assign_dense_ids(
-        prepared.select("url", "text", "simhash", "bands"), "url", "nid"
-    )
+    cols = ["url", "text", "simhash", "bands"]
+    if "sfps" in prepared.columns:
+        cols.append("sfps")  # stored winnow fps: suffix channel skips its UDF
+    with_ids = assign_dense_ids(prepared.select(*cols), "url", "nid")
     combined = spill(with_ids, config, "ckpt_docs")
-    docs = combined.select(
-        F.col("nid").alias("id"), "text", "simhash", "bands"
-    )
+    docs = combined.select(F.col("nid").alias("id"), *cols[1:])
     idmap = combined.select("nid", "url")
     pairs = channel_pair_sets(docs, config, channels)
     a = idmap.select(F.col("nid").alias("id_a"), F.col("url").alias("url_a"))
@@ -253,17 +285,26 @@ def incremental_pairs(
     from dedup_spark.functions.simhash import hamming_distance
 
     # star-tier guard: above the cap, pair emission depends on other bucket
-    # members (hub mediation) and cached rows can diverge from a recompute
+    # members (hub mediation) and cached rows can diverge from a recompute.
+    # The suffix channel stars at PAIR_CAP_ALL (each suffix pair carries two
+    # full token arrays through its verify, so its exhaustive tier is the
+    # small cap — operators/suffix.py), the near channels at PAIR_CAP_CROSS.
     hot = (
         old_buckets.unionByName(new_buckets)
         .filter(
-            (F.col("channel") != "exact") & (F.col("n") > PAIR_CAP_CROSS)
+            (
+                F.col("channel").isin("minhash", "simhash")
+                & (F.col("n") > PAIR_CAP_CROSS)
+            )
+            | ((F.col("channel") == "suffix") & (F.col("n") > PAIR_CAP_ALL))
         )
+        .select("channel")
         .limit(1)
-        .count()
+        .collect()
     )
     if hot:
-        return None, "ultra_hot_near_bucket"
+        which = "suffix" if hot[0]["channel"] == "suffix" else "near"
+        return None, f"ultra_hot_{which}_bucket"
 
     # changed docs: (url, dhash) symmetric difference old vs new
     o = old_docsig.select("url", F.col("dhash").alias("_od"))
@@ -380,6 +421,49 @@ def incremental_pairs(
             F.lit(None).cast("long").alias("ghash"),
         )
     )
+
+    if config.suffix_enabled and "sfps" in prepared.columns:
+        # stale winnow buckets, re-verified whole over their full CURRENT
+        # membership. The hot guard above already bounded every old/new
+        # suffix bucket at PAIR_CAP_ALL, so only the exhaustive small-bucket
+        # SA path is ever needed here; token arrays are recomputed for ONLY
+        # the stale buckets' members (the token_hashes lambda is cheap JVM —
+        # the O(tokens) winnow UDF is NOT re-run: its output is the stored
+        # sfps column).
+        from dedup_spark.functions.signatures import token_hashes
+        from dedup_spark.operators.suffix import verify_fp_buckets
+
+        cx = stale.filter(F.col("channel") == "suffix").select(
+            F.col("bkey").alias("fp")
+        )
+        exploded_x = (
+            prepared.filter(F.col("sfps").isNotNull())
+            .select(F.col("url").alias("id"), F.explode("sfps").alias("fp"))
+            .join(cx, "fp", "left_semi")
+        )
+        toks_x = (
+            prepared.join(
+                exploded_x.select(F.col("id").alias("url")).distinct(),
+                "url",
+                "left_semi",
+            )
+            .select(F.col("url").alias("id"), token_hashes("text").alias("tok"))
+            .filter(F.size("tok") > 0)
+        )
+        sfx = verify_fp_buckets(exploded_x, toks_x, config)
+        regen.append(
+            sfx.groupBy(
+                F.col("id_a").alias("url_a"), F.col("id_b").alias("url_b")
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(
+                "url_a",
+                "url_b",
+                F.lit("suffix").alias("channel"),
+                F.lit(None).cast("double").alias("jaccard"),
+                F.lit(None).cast("long").alias("ghash"),
+            )
+        )
 
     out = kept_exact.select(*PAIR_COLS).unionByName(
         kept_near.select(*PAIR_COLS)

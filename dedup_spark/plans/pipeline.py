@@ -274,8 +274,14 @@ def channel_pair_sets(
         from dedup_spark.operators.lsh import PAIR_CAP_ALL
         from dedup_spark.operators.suffix import suffix_repeat_pairs
 
-        # star topology on hot fingerprint buckets: CC only needs connectivity
-        sp = suffix_repeat_pairs(docs, config, pair_cap_all=PAIR_CAP_ALL).select(
+        # star topology on hot fingerprint buckets: CC only needs
+        # connectivity. Precomputed per-doc winnow fingerprints (the
+        # checkpointed path stores them per partition) skip the O(tokens)
+        # winnow UDF here entirely.
+        sp = suffix_repeat_pairs(
+            docs, config, pair_cap_all=PAIR_CAP_ALL,
+            fps_col="sfps" if "sfps" in docs.columns else None,
+        ).select(
             "id_a", "id_b", "channel",
             F.lit(None).cast("double").alias("jaccard"), null_ghash,
         )

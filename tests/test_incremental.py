@@ -53,9 +53,11 @@ def _merged_pairs_set(spark, root):
             "jaccard",
         )
     ).toPandas()
-    return sorted(
-        map(tuple, merged[["id_a", "id_b", "channel", "jaccard"]].values)
-    )
+    p = merged[["id_a", "id_b", "channel", "jaccard"]].copy()
+    # suffix pairs carry null jaccard -> NaN in pandas, and NaN != NaN would
+    # make identical pair sets compare unequal; use an impossible sentinel
+    p["jaccard"] = p["jaccard"].fillna(-1.0)
+    return sorted(map(tuple, p.values))
 
 
 def _edit_some_docs(pages, src):
@@ -243,3 +245,145 @@ def test_unchanged_resume_replays_pairs(spark, pages, config, root):
     run_dedup_checkpointed(pages, config, root, run=run2)
     assert run2.pairs_mode == "replay"
     assert run2.computed == []
+
+
+# ---------------------------------------------------------------------------
+# suffix-channel incremental resume (r5): winnow-fingerprint buckets have the
+# same membership-fingerprint structure as the near channels; below the star
+# cap pair MEMBERSHIP is pair-local (winnow guarantee + exact SA verify), so
+# cached suffix pairs are kept endpoint-wise and stale buckets re-verify whole.
+
+
+def _stext(seed, n):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return " ".join(rng.choice([f"w{i:03d}" for i in range(400)], size=n))
+
+
+@pytest.fixture()
+def suffix_pages(spark):
+    """Two source partitions; two suffix-only clusters {a,b} and {d,e}
+    sharing 60-token runs (default min_run=50), plus unique fillers. The
+    shared runs have no 0.7-Jaccard or exact twin, so CC connectivity for
+    these clusters rides the suffix channel alone."""
+    ts = datetime.datetime(2024, 1, 1)
+    shared1, shared2 = _stext(1, 60), _stext(2, 60)
+    rows = [
+        ("https://s/a", ts, _stext(10, 30) + " " + shared1 + " " + _stext(11, 40), "en", "src0"),
+        ("https://s/b", ts, shared1 + " " + _stext(12, 80), "en", "src1"),
+        ("https://s/d", ts, shared2 + " " + _stext(13, 70), "en", "src1"),
+        ("https://s/e", ts, _stext(14, 25) + " " + shared2, "en", "src0"),
+    ] + [
+        (f"https://s/u{i}", ts, _stext(100 + i, 90), "en", f"src{i % 2}")
+        for i in range(6)
+    ]
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string, source string"
+    )
+
+
+@pytest.fixture()
+def suffix_config(config):
+    from dataclasses import replace
+
+    return replace(config, suffix_enabled=True)
+
+
+def test_suffix_incremental_resume_identity(
+    spark, suffix_pages, suffix_config, root, fresh_root
+):
+    """Edit ONE doc so it leaves its suffix cluster and joins the other:
+    the resume must drop the stale cached pair, keep the untouched one, and
+    regenerate the moved buckets — then match a fresh full run exactly."""
+    first = run_dedup_checkpointed(suffix_pages, suffix_config, root)
+    got = _members_set(first)
+    clusters = {u: c for (u, c, _) in got}
+    assert clusters["https://s/a"] == clusters["https://s/b"]
+    assert clusters["https://s/d"] == clusters["https://s/e"]
+    assert clusters["https://s/a"] != clusters["https://s/d"]
+
+    shared2 = _stext(2, 60)
+    edited = suffix_pages.withColumn(
+        "text",
+        F.when(
+            F.col("url") == "https://s/b",
+            F.lit(shared2 + " " + _stext(50, 80)),
+        ).otherwise(F.col("text")),
+    )
+    run2 = CheckpointedRun(spark, root, suffix_config)
+    incr = run_dedup_checkpointed(edited, suffix_config, root, run=run2)
+    assert run2.pairs_mode == "incremental"
+    got2 = _members_set(incr)
+    c2 = {u: c for (u, c, _) in got2}
+    assert c2["https://s/b"] == c2["https://s/d"] == c2["https://s/e"]
+    # `a` lost its only partner: it leaves the members table (singletons
+    # carry no pair) — the stale cached (a, b) pair must NOT survive
+    assert "https://s/a" not in c2
+
+    full = run_dedup_checkpointed(edited, suffix_config, fresh_root)
+    assert got2 == _members_set(full)
+    assert _merged_pairs_set(spark, root) == _merged_pairs_set(spark, fresh_root)
+
+
+def test_suffix_hot_bucket_falls_back_to_full(
+    spark, suffix_pages, suffix_config, root, fresh_root, monkeypatch
+):
+    """Above the suffix star cap, emission depends on other bucket members
+    (hub mediation): the incremental path must refuse loudly."""
+    import dedup_spark.plans.incremental as incr_mod
+
+    run_dedup_checkpointed(suffix_pages, suffix_config, root)
+    monkeypatch.setattr(incr_mod, "PAIR_CAP_ALL", 1)
+    edited = suffix_pages.withColumn(
+        "text",
+        F.when(
+            F.col("url") == "https://s/u0",
+            F.concat("text", F.lit(" EDITED")),
+        ).otherwise(F.col("text")),
+    )
+    run2 = CheckpointedRun(spark, root, suffix_config)
+    out = run_dedup_checkpointed(edited, suffix_config, root, run=run2)
+    assert run2.pairs_mode == "full(ultra_hot_suffix_bucket)"
+    monkeypatch.undo()
+    full = run_dedup_checkpointed(edited, suffix_config, fresh_root)
+    assert _members_set(out) == _members_set(full)
+
+
+def test_fallback_reason_lands_in_metrics(
+    spark, pages, config, root, monkeypatch
+):
+    """A 100 TB operator must be able to see WHY a resume went full-cost:
+    every computed pairs-stage resolution writes an event="pairs_mode"
+    metrics row carrying the reason (cold / config drift / hot bucket /
+    incremental)."""
+    import json as _json
+    import os
+
+    import dedup_spark.plans.incremental as incr_mod
+
+    def _mode_rows():
+        with open(os.path.join(root, "metrics.jsonl")) as f:
+            return [
+                r for r in map(_json.loads, f)
+                if r.get("event") == "pairs_mode"
+            ]
+
+    run_dedup_checkpointed(pages, config, root)
+    rows = _mode_rows()
+    assert rows[-1]["mode"] == "full"
+    assert rows[-1]["reason"] == "cold_no_marker"
+
+    monkeypatch.setattr(incr_mod, "PAIR_CAP_CROSS", 1)
+    src = pages.select("source").distinct().orderBy("source").limit(1).collect()[0][0]
+    edited = _edit_some_docs(pages, src)
+    run_dedup_checkpointed(edited, config, root)
+    rows = _mode_rows()
+    assert rows[-1]["mode"] == "full(ultra_hot_near_bucket)"
+    assert rows[-1]["reason"] == "ultra_hot_near_bucket"
+    monkeypatch.undo()
+
+    # a pure replay appends no resolution row
+    n = len(rows)
+    run_dedup_checkpointed(edited, config, root)
+    assert len(_mode_rows()) == n
