@@ -453,20 +453,9 @@ def _pairs_stage(
 
     prepared = prepared_fn()
     t0 = time.perf_counter()
-    # current-corpus sidecars: written straight to their final versioned
-    # location (atomic staging+rename) and read back — one materialization
-    # serves the incremental path's multiple reads (guard + diff + regen
-    # semi-joins) AND the promotion, instead of the old spill-then-rewrite
-    # double write. Writing before the pairs parquet is safe: the marker
-    # swing at the end is the consistency point, and a crash in between
-    # just leaves an unreferenced version dir the next run overwrites.
-    run._atomic_write(bucket_fingerprints(prepared, config), buckets_path)
-    run._atomic_write(doc_signatures(prepared), docsig_path)
-    new_buckets = run.spark.read.parquet(buckets_path)
-    new_docsig = run.spark.read.parquet(docsig_path)
 
-    df = None
-    mode = "full"
+    # why the stage resolved the way it did — a 100 TB operator reading
+    # metrics.jsonl must be able to see WHY a resume went full-cost
     head = combined_fp.split("|", 2)
     prefix = f"{head[0]}|{head[1]}|"  # "v3|cfg=<digest>|"
     old_path = old_buckets = old_docsig = None
@@ -474,8 +463,6 @@ def _pairs_stage(
         old_path, old_buckets, old_docsig = _pairs_paths(
             run.root, marker["fingerprint"]
         )
-    # why the stage resolved the way it did — a 100 TB operator reading
-    # metrics.jsonl must be able to see WHY a resume went full-cost
     if marker is None:
         reason = "cold_no_marker"
     elif not marker["fingerprint"].startswith(prefix):
@@ -488,23 +475,56 @@ def _pairs_stage(
         reason = "missing_artifacts"
     else:
         reason = None
+
+    # current-corpus sidecars: written straight to their final versioned
+    # location (atomic staging+rename) and read back — one materialization
+    # serves the incremental path's multiple reads (guard + diff + regen
+    # semi-joins) AND the promotion, instead of the old spill-then-rewrite
+    # double write. Writing before the pairs parquet is safe: the marker
+    # swing at the end is the consistency point, and a crash in between
+    # just leaves an unreferenced version dir the next run overwrites.
+    df = None
+    mode = "full"
     if reason is None:
+        # incremental candidate: the sidecars are INPUTS to the diff, so
+        # they must land before the pair build
+        run._atomic_write(bucket_fingerprints(prepared, config), buckets_path)
+        run._atomic_write(doc_signatures(prepared), docsig_path)
         df, why = incremental_pairs(
             prepared,
             run.spark.read.parquet(old_path),
             run.spark.read.parquet(old_buckets),
             run.spark.read.parquet(old_docsig),
-            new_buckets,
-            new_docsig,
+            run.spark.read.parquet(buckets_path),
+            run.spark.read.parquet(docsig_path),
             config,
         )
         mode = why if df is not None else f"full({why})"
         reason = why
-    if df is None:
-        df = full_pairs(prepared, config)
-    # write the NEW version (never touching the old one the plan still
-    # lazily reads), then swing the marker, then GC superseded versions
-    run._atomic_write(df, path)
+        if df is None:
+            df = full_pairs(prepared, config)
+        run._atomic_write(df, path)
+    else:
+        # cold / config-drift / missing-artifact path: the sidecars only
+        # serve FUTURE resumes, so their writes overlap the full pair
+        # build+write on the same session (concurrent actions, the
+        # partitioned_stage pattern) instead of serializing ahead of it
+        with ThreadPoolExecutor(max_workers=2) as side:
+            futs = [
+                side.submit(
+                    run._atomic_write,
+                    bucket_fingerprints(prepared, config),
+                    buckets_path,
+                ),
+                side.submit(
+                    run._atomic_write, doc_signatures(prepared), docsig_path
+                ),
+            ]
+            run._atomic_write(full_pairs(prepared, config), path)
+            for f in futs:
+                f.result()
+    # the NEW version never touches the old one the plan still lazily
+    # reads; the marker swings after, then superseded versions GC
     out = run.spark.read.parquet(path)
     rows = out.count()
     run._write_marker(

@@ -165,6 +165,13 @@ def canonical_pages(prepared: DataFrame, config: DedupConfig) -> DataFrame:
         config,
         "canon_dups",
     )
+    # common case: no url crawled into two partitions. The dup set is
+    # already materialized (the spill above IS the corpus agg), so this
+    # check is one parquet-metadata read — and returning `prepared`
+    # directly drops the resolve spill, the window, and two join nodes
+    # from every downstream consumer's plan.
+    if dups.limit(1).count() == 0:
+        return prepared
     dup_rows = prepared.join(dups, uh == dups["_uh"], "left_semi")
     resolved = spill(ingest_pages(dup_rows, config), config, "canon_resolved")
     uniq = prepared.join(dups, uh == dups["_uh"], "left_anti")
