@@ -23,11 +23,16 @@ Parsing is pure-Python per record — at file-task granularity with zero
 shuffle that is the right Spark shape, but a production 100 TB ingest would
 swap this seam for fastwarc/resiliparse.
 
-Text extraction is a deterministic, tag-stripping heuristic (drop
+Text extraction is a seam with two built-in fillings: the default
+`html_to_text` here is a deterministic tag-stripping regex heuristic (drop
 script/style blocks, strip tags, decode the common entities, collapse
-whitespace). It is NOT a production boilerplate remover — it exists so the
-dedup semantics downstream (which operate on `text`) are testable end to end
-from raw archives; swap in a real extractor at the same seam.
+whitespace) — NOT a boilerplate remover, but golden-pinned and stable since
+it became the ingest default; `sources/extract.py:extract_text` is the
+tag-aware boilerplate stripper (real HTMLParser parse, chrome-subtree
+drops, link-density block filtering) for real-crawl ingest — pass it via
+the `extractor` parameter or `--extractor boilerplate` on the job CLI.
+Both are pure deterministic functions of the html string (SURVEY.md §2.8
+invariant 8), each pinned by its own golden-file tests.
 """
 
 from __future__ import annotations
@@ -187,8 +192,17 @@ def _safe_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         yield rec
 
 
-def iter_warc_pages(raw: bytes, source: str) -> Iterator[dict]:
-    """Stream page row-dicts from one archive's bytes (constant memory)."""
+def iter_warc_pages(raw: bytes, source: str, extractor=None) -> Iterator[dict]:
+    """Stream page row-dicts from one archive's bytes (constant memory).
+
+    `extractor`: html->text function filling the extraction seam. Default is
+    the regex heuristic `html_to_text` (golden-pinned since round 3);
+    `sources.extract.extract_text` is the tag-aware boilerplate stripper —
+    pass it here (or --extractor boilerplate on the job CLI) for real-crawl
+    ingest. Both are pure deterministic functions of the html string
+    (SURVEY.md §2.8 invariant 8), each pinned by its own golden tests.
+    """
+    to_text = html_to_text if extractor is None else extractor
     for headers, payload in _safe_records(raw):
         if headers.get("warc-type") != "response":
             continue
@@ -199,7 +213,7 @@ def iter_warc_pages(raw: bytes, source: str) -> Iterator[dict]:
         if body is None:
             continue
         html = body.decode("utf-8", "replace")
-        text = html_to_text(html)
+        text = to_text(html)
         ts = None
         wd = headers.get("warc-date")
         if wd:
@@ -228,9 +242,11 @@ def iter_warc_pages(raw: bytes, source: str) -> Iterator[dict]:
         }
 
 
-def parse_warc_bytes(raw: bytes, source: str) -> pd.DataFrame:
+def parse_warc_bytes(raw: bytes, source: str, extractor=None) -> pd.DataFrame:
     """One archive's bytes -> pages frame (pure function, unit-testable)."""
-    return pd.DataFrame(list(iter_warc_pages(raw, source)), columns=_COLUMNS)
+    return pd.DataFrame(
+        list(iter_warc_pages(raw, source, extractor)), columns=_COLUMNS
+    )
 
 
 def read_warc_pages(
@@ -238,13 +254,16 @@ def read_warc_pages(
     path: str,
     batch_rows: int = _BATCH_ROWS,
     batch_bytes: int = _BATCH_BYTES,
+    extractor=None,
 ) -> DataFrame:
     """WARC archive files under `path` -> pages DataFrame (input_hint schema).
 
     `source` is the archive file name — the natural per-file partition unit
     for the checkpointed pipeline (one WARC segment == one resumable
     partition). Pages are emitted as bounded pandas batches, never one frame
-    per archive.
+    per archive. `extractor` fills the text-extraction seam
+    (see iter_warc_pages); it must be importable on executors — pass a
+    module-level function, not a closure.
     """
     import os
 
@@ -256,7 +275,8 @@ def read_warc_pages(
         for pdf in batches:
             for _, row in pdf.iterrows():
                 for page in iter_warc_pages(
-                    bytes(row["content"]), os.path.basename(row["path"])
+                    bytes(row["content"]), os.path.basename(row["path"]),
+                    extractor,
                 ):
                     rows.append(page)
                     nbytes += len(page["html"]) + len(page["text"])

@@ -51,8 +51,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--checkpoint-dir", default=None,
                     help="enable per-partition checkpoint/resume under this dir")
     ap.add_argument("--action", default="summarize",
+                    help="'hot-buckets' is the N10 skew preflight: report "
+                         "LSH buckets above the exhaustive pair cap "
+                         "without running the pipeline",
                     choices=["list", "summarize", "canonicalize", "plan",
-                             "apply"])
+                             "apply", "hot-buckets"])
     ap.add_argument("--plan", default=None,
                     help="plan table path for --action apply (written by "
                          "--action plan, optionally edited)")
@@ -61,6 +64,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="'table' (Iceberg name or parquet path, default), "
                          "'warc' (Common Crawl archives), or 'jsonl' "
                          "(one page object per line)")
+    ap.add_argument("--extractor", default="simple",
+                    choices=["simple", "boilerplate"],
+                    help="WARC text extraction: 'simple' (tag-stripping "
+                         "regex heuristic, default) or 'boilerplate' "
+                         "(tag-aware chrome-subtree + link-density "
+                         "stripper, sources/extract.py)")
     ap.add_argument("--channels", default="exact,minhash,simhash")
     ap.add_argument("--partition-col", default="source")
     ap.add_argument("--master", default=None)
@@ -136,7 +145,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         if args.input_format == "warc":
             from dedup_spark.sources.warc import read_warc_pages
 
-            pages = read_warc_pages(spark, args.input)
+            extractor = None
+            if args.extractor == "boilerplate":
+                from dedup_spark.sources.extract import extract_text
+
+                extractor = extract_text
+            pages = read_warc_pages(spark, args.input, extractor=extractor)
         elif args.input_format == "jsonl":
             from dedup_spark.sources.jsonl import read_jsonl_pages
 
@@ -151,6 +165,50 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         from dedup_spark.operators.scan import select_input
 
         pages = select_input(pages, args.where)
+
+    if args.action == "hot-buckets":
+        # N10 audit surface, operator-visible: report every MinHash-LSH
+        # bucket above the exhaustive pair cap BEFORE committing to a run —
+        # the boilerplate-skew preflight a 100 TB operator wants. Signatures
+        # only; no pair generation, no shuffle beyond one count agg.
+        from pyspark.sql import functions as F
+
+        from dedup_spark.functions.signatures import (
+            doc_signature_udf,
+            token_hashes,
+        )
+        from dedup_spark.operators.lsh import hot_buckets
+        from dedup_spark.operators.scan import ingest_pages
+
+        udf = doc_signature_udf(
+            config, include_signature=False, include_shingles=False
+        )
+        banded = (
+            ingest_pages(pages, config)
+            .select(
+                F.col("url").alias("id"),
+                token_hashes("text").alias("_tok"),
+            )
+            .filter(F.size("_tok") > 0)
+            .select("id", udf(F.col("_tok")).alias("_s"))
+            .select("id", F.col("_s.bands").alias("band_keys"))
+        )
+        hb = hot_buckets(banded, config)
+        cat = Catalog(spark, args.output)
+        cat.write(hb, "hot_buckets")
+        top = hb.limit(20).collect()
+        for r in top:
+            print(
+                f"# hot bucket band={r['band_idx']} key={r['band_key']} "
+                f"members={r['n_members']}",
+                file=sys.stderr,
+            )
+        n_hot = cat.read("hot_buckets").count()
+        print(f"# dedup_job: {n_hot} hot buckets above the all-pairs cap",
+              file=sys.stderr)
+        if owns_session:
+            spark.stop()
+        return
 
     t0 = time.perf_counter()
     if args.checkpoint_dir:

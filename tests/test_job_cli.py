@@ -245,3 +245,101 @@ def test_cli_warc_roundtrip_end_to_end(spark, tmp_path):
     (winner,) = dup_urls & kept
     assert (loser, winner) in redirects
     assert not any(u == "https://a.example/unique" for u, _ in redirects)
+
+
+def test_cli_hot_buckets_preflight(spark, tmp_path):
+    """--action hot-buckets: the N10 skew audit through the CLI — report
+    LSH buckets above the exhaustive pair cap BEFORE running the pipeline
+    (signatures + one count agg only; no pair generation)."""
+    from pyspark.sql import functions as F
+
+    from jobs.dedup_job import main
+
+    boiler = "identical boilerplate page body repeated across the crawl " * 4
+    rows = [
+        (f"https://h/dup{i}", "2024-01-01 00:00:00", boiler, "en", "s0")
+        for i in range(70)  # one content class > PAIR_CAP_ALL(64)
+    ] + [
+        (f"https://h/u{i}", "2024-01-01 00:00:00",
+         f"wholly unique page number {i} with its own words {i * 17}", "en", "s0")
+        for i in range(10)
+    ]
+    src = str(tmp_path / "pages")
+    (
+        spark.createDataFrame(
+            rows, "url string, warc_ts string, text string, lang string, source string"
+        )
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+        .withColumn("html", F.lit(None).cast("binary"))
+        .write.parquet(src)
+    )
+    out = str(tmp_path / "out")
+    main(
+        [
+            "--input", src,
+            "--output", out,
+            "--action", "hot-buckets",
+            "--shuffle-partitions", "4",
+        ],
+        spark=spark,
+    )
+    hb = spark.read.parquet(os.path.join(out, "hot_buckets"))
+    got = hb.collect()
+    # identical texts share every band: all 32 band buckets are hot with
+    # exactly the 70-member content class
+    assert len(got) > 0
+    assert all(r["n_members"] == 70 for r in got)
+    # no members/summary artifacts: the preflight must not run the pipeline
+    assert not os.path.exists(os.path.join(out, "members"))
+    assert not os.path.exists(os.path.join(out, "summary"))
+
+
+def test_cli_warc_boilerplate_extractor(spark, tmp_path):
+    """--extractor boilerplate swaps the WARC text seam to the tag-aware
+    stripper: two crawls of the same article differing only in site chrome
+    must become EXACT duplicates under it (the real-crawl payoff the regex
+    seam can't deliver — there they stay distinct)."""
+    from jobs.dedup_job import main
+
+    body = "<main><p>the one true article body with enough words to keep"
+    body += " and dedup on</p></main>"
+    page_a = (
+        "<html><body><nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        + body + "<footer><a href='/tos'>Terms</a></footer></body></html>"
+    )
+    page_b = (
+        "<html><body><nav><a href='/x'>Start</a> <a href='/y'>Docs</a></nav>"
+        + body + "<footer><a href='/p'>Privacy</a> © 2024</footer></body></html>"
+    )
+    arch = tmp_path / "arch"
+    arch.mkdir()
+    (arch / "seg.warc").write_bytes(
+        _cli_warc_record("https://x.example/a", "2024-01-02T03:04:05Z", page_a)
+        + _cli_warc_record("https://x.example/b", "2024-01-02T03:04:06Z", page_b)
+    )
+
+    def run(extractor, tag):
+        out = str(tmp_path / f"out_{tag}")
+        main(
+            [
+                "--input", str(arch),
+                "--input-format", "warc",
+                "--extractor", extractor,
+                "--output", out,
+                "--action", "plan",
+                "--channels", "exact",
+                "--shuffle-partitions", "4",
+            ],
+            spark=spark,
+        )
+        return spark.read.parquet(os.path.join(out, "plan")).collect()
+
+    from dedup_spark.sources.extract import extract_text
+
+    plan = run("boilerplate", "b")
+    # chrome stripped -> byte-identical text -> one 2-member exact cluster
+    assert len(plan) == 2
+    assert {r["url"] for r in plan} == {"https://x.example/a", "https://x.example/b"}
+    assert all(r["doc_bytes"] == len(extract_text(page_a)) for r in plan)
+    # the regex seam keeps differing nav/footer text: no duplicates
+    assert run("simple", "s") == []
