@@ -45,13 +45,15 @@ spark.stop()
 
 _PHASE = r"""
 import json, os, sys, time
-cores, path, root, phase, shm = (
-    int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
+cores, path, root, phase, shm, suffix = (
+    int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5],
+    sys.argv[6] == "1")
 from pyspark.sql import functions as F
 from dedup_spark.config import DedupConfig
 from dedup_spark.session import build_session
 from dedup_spark.plans.checkpoint import CheckpointedRun, run_dedup_checkpointed
-config = DedupConfig(shuffle_partitions=cores * 2, spill_dir=shm)
+config = DedupConfig(shuffle_partitions=cores * 2, spill_dir=shm,
+                     suffix_enabled=suffix)
 spark = build_session("ckpt_bench", master=f"local[{cores}]", config=config,
                       shuffle_partitions=cores * 2,
                       extra_conf={"spark.local.dir": shm})
@@ -98,6 +100,10 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--parts", type=int, default=8)
     ap.add_argument("--keep", action="store_true", help="keep corpus + root")
+    ap.add_argument("--suffix", action="store_true",
+                    help="suffix channel ON (r5: winnow fps stored per "
+                         "partition, suffix pairs resume incrementally); "
+                         "writes BENCH/ckpt_resume_suffix.json")
     args = ap.parse_args()
 
     env = dict(os.environ)
@@ -118,7 +124,7 @@ def main() -> None:
     for phase in ("cold", "warm", "touch1", "touch4"):
         r = run_child(
             pin + [sys.executable, "-c", _PHASE, str(args.cores), corpus,
-                   root, phase, shm],
+                   root, phase, shm, "1" if args.suffix else "0"],
             env,
         )
         results[phase] = r
@@ -126,6 +132,7 @@ def main() -> None:
 
     summary = {
         "rows": args.rows, "cores": args.cores, "parts": args.parts,
+        "suffix_enabled": args.suffix,
         "cold_s": results["cold"]["sec"],
         "warm_s": results["warm"]["sec"],
         "touch1_s": results["touch1"]["sec"],
@@ -141,7 +148,8 @@ def main() -> None:
         ),
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/ckpt_resume.json", "w") as f:
+    out_name = "BENCH/ckpt_resume_suffix.json" if args.suffix else "BENCH/ckpt_resume.json"
+    with open(out_name, "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
     if not args.keep:
