@@ -64,6 +64,7 @@ def main() -> None:
         "pipeline_end_to_end",   # headline
         "g4_exact_clusters",
         "n3_minhash_signatures",
+        "n3_oph_members_parity",  # full pipeline under the OPH scheme
         "n4_lsh_candidate_pairs",
         "n5_simhash",
         "n6_suffix_pairs",
