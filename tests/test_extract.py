@@ -146,3 +146,30 @@ def test_warc_seam_takes_extractor(spark, tmp_path):
     df = read_warc_pages(spark, str(tmp_path), extractor=extract_text)
     rows = df.select("url", "text").collect()
     assert rows[0]["text"] == _PAGE_GOLDEN
+
+
+def test_fuzz_never_raises_and_deterministic():
+    """Property fuzz (hypothesis): extract_text is total and deterministic
+    on arbitrary tag-soup — the WARC task must survive any crawl bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.one_of(
+        st.text(max_size=40),
+        st.sampled_from([
+            "<div>", "</div>", "<p class='nav'>", "<a href=x>", "</a>",
+            "<script>", "</script>", "<br/>", "<![CDATA[", "]]>", "<!--",
+            "-->", "&amp;", "&#xZZ;", "&#97;", "<x\x00y>", "< p >", "<>",
+            "</", "<!DOCTYPE html>", "<nav>", "</nav>", "<b", "='",
+        ]),
+    )
+    html = st.lists(frag, max_size=30).map("".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(html)
+    def run(s):
+        a = extract_text(s)
+        assert a == extract_text(s)
+        assert isinstance(a, str)
+
+    run()
