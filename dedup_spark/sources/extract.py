@@ -5,9 +5,9 @@ a real parse of the tag stream (``html.parser.HTMLParser``, no third-party
 dependency) that understands document STRUCTURE — which the regex seam
 cannot — so it can drop whole boilerplate subtrees and filter blocks by
 link density, the two moves every practical extractor (Readability,
-jusText, trafilatura) is built on. Fills the "swap in a real extractor at the same
-seam" deploy note in sources/warc.py with something shippable while staying
-dependency-free for this sandbox.
+jusText, trafilatura) is built on. Fills the "swap in a real extractor at
+the same seam" deploy note in sources/warc.py with something shippable
+while staying dependency-free for this sandbox.
 
 What it does, in document order:
 
@@ -29,11 +29,33 @@ What it does, in document order:
 4. Entities decode via the parser (``convert_charrefs``), whitespace
    collapses within blocks, blocks join with ``"\\n"``.
 
+Element tracking is a real OPEN-TAG STACK with HTML5-style implied closes,
+NOT a raw start/end counter — real crawl HTML leans hard on optional end
+tags, and a counter silently desynchronizes on them (a ``<ul
+class="menu"><li>..<li>..</ul>`` menu would otherwise leave the skip state
+stuck on and drop the rest of the document — found by review, regression-
+pinned in tests/test_extract.py):
+
+- ``li``/``p``/``td``/``th``/``tr``/``dd``/``dt``/``option`` starting
+  while a sibling of their close-group is open implies closing it (scoped:
+  an ``li`` never reaches out of its ``ul``/``ol``, a ``td`` out of its
+  ``table``).
+- Any non-head-content tag implies ``</head>`` (soup commonly omits it).
+- An end tag pops to its nearest matching open element, closing everything
+  above it — so an unclosed ``<a>`` cannot leak link state past its
+  enclosing block.
+- Void elements (``br``/``img``/``input``...) never push: a void element
+  carrying a chrome class (``<img class="banner">``) has no subtree to
+  drop and must never toggle skip state.
+- The stack depth is capped (``_MAX_DEPTH``): pathological nesting
+  degrades to flat text instead of O(n²) scans — the WARC task must stay
+  linear on adversarial crawl bytes.
+
 Determinism: a pure function of the HTML string — no randomness, no
 locale/environment dependence — pinned by golden-file tests
-(tests/test_extract.py) per SURVEY.md §2.8 invariant 8. Malformed HTML
-(unclosed tags, stray end tags) degrades gracefully: skip/link depths are
-counters clamped at zero, so the extractor never throws on real crawl data.
+(tests/test_extract.py) per SURVEY.md §2.8 invariant 8, including a
+property fuzz for totality. Malformed HTML degrades gracefully (stray end
+tags ignored, unclosed elements closed by their ancestors), never raises.
 
 Spark shape: called per document inside the existing WARC ``mapInPandas``
 ingest (one task per archive file, zero shuffle) — swapping extractors
@@ -62,14 +84,43 @@ _BLOCK_TAGS = frozenset(
     "article section main figure figcaption dd dt dl form hr br "
     "title body html".split()
 )
-_WS = re.compile(r"\s+")
-_CLASS_SPLIT = re.compile(r"[\s_-]+")
-# void elements never get an end tag: they must not count toward the
-# skipped-subtree depth or the depth would never return to zero
+# void elements never get an end tag: they must never enter the open stack
+# (nor toggle skip state — they have no subtree to drop)
 _VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track "
     "wbr".split()
 )
+# implied closes (HTML5 optional end tags): starting tag -> set of open
+# sibling tags it closes, searched downward but never past a scope barrier
+_CLOSES = {
+    "li": frozenset({"li"}),
+    "p": frozenset({"p"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+    "tr": frozenset({"td", "th", "tr"}),
+    "dd": frozenset({"dd", "dt"}),
+    "dt": frozenset({"dd", "dt"}),
+    "option": frozenset({"option"}),
+}
+_SCOPE = {
+    "li": frozenset({"ul", "ol"}),
+    "td": frozenset({"table"}),
+    "th": frozenset({"table"}),
+    "tr": frozenset({"table"}),
+    "dd": frozenset({"dl"}),
+    "dt": frozenset({"dl"}),
+    "option": frozenset({"select"}),
+    # a <p> never implicitly closes a <p> outside its own block container
+    "p": _BLOCK_TAGS - {"p"},
+}
+# tags that may live inside <head>; anything else implies </head>
+_HEAD_CONTENT = frozenset(
+    "head title meta link base style script noscript template".split()
+)
+_MAX_DEPTH = 512
+
+_WS = re.compile(r"\s+")
+_CLASS_SPLIT = re.compile(r"[\s_-]+")
 
 # link-density rule: a block that is mostly anchor text AND short is chrome
 _LINK_RATIO_MAX = 0.5
@@ -92,13 +143,13 @@ class _Extractor(HTMLParser):
         self._parts: list[str] = []
         self._chars = 0
         self._link_chars = 0
-        # skipped-subtree depth: a trigger element (skip/chrome tag, or any
-        # element with a chrome id/class token) sets depth 1; every nested
-        # non-void start tag increments, every end tag decrements, and text
-        # only flows at depth 0. A depth COUNTER (not a tag stack) stays
-        # deterministic on malformed HTML — stray end tags clamp at zero.
+        # open-element stack of (tag, is_skip_trigger); the two counters are
+        # pure functions of it (number of trigger entries / of open <a>s),
+        # maintained incrementally on push/pop
+        self._stack: list[tuple[str, bool]] = []
         self._skip = 0
         self._link = 0
+        self._head_idx = -1  # stack index of an open <head>, -1 if none
 
     # -- block plumbing -----------------------------------------------------
     def _flush(self) -> None:
@@ -107,35 +158,83 @@ class _Extractor(HTMLParser):
             self.blocks.append((text, self._chars, self._link_chars))
         self._parts, self._chars, self._link_chars = [], 0, 0
 
-    # -- parser callbacks ---------------------------------------------------
-    def handle_starttag(self, tag: str, attrs) -> None:
-        if self._skip:
-            if tag not in _VOID_TAGS:
-                self._skip += 1
-            return
-        if tag in _SKIP_TAGS or tag in _CHROME_TAGS or _is_chrome_attrs(attrs):
-            self._flush()
-            self._skip = 1
-            return
+    # -- stack plumbing -----------------------------------------------------
+    def _push(self, tag: str, trigger: bool) -> None:
+        if len(self._stack) >= _MAX_DEPTH:
+            return  # degrade flat: deeper nesting is treated as unnested
+        if tag == "head" and self._head_idx < 0:
+            self._head_idx = len(self._stack)
+        self._stack.append((tag, trigger))
+        if trigger:
+            self._skip += 1
         if tag == "a":
             self._link += 1
-        if tag in _BLOCK_TAGS:
+
+    def _pop_to(self, i: int) -> None:
+        """Close stack[i] and everything above it; flush once if any popped
+        element was a block (the accumulated text belongs to that block)."""
+        block = False
+        while len(self._stack) > i:
+            tag, trigger = self._stack.pop()
+            if trigger:
+                self._skip -= 1
+            if tag == "a":
+                self._link -= 1
+            block = block or tag in _BLOCK_TAGS
+        if self._head_idx >= len(self._stack):
+            self._head_idx = -1
+        if block:
+            self._flush()  # harmless while skipping: parts are empty
+
+    def _implied_close(self, tag: str) -> None:
+        # soup commonly omits </head>: any body-content tag closes it
+        if self._head_idx >= 0 and tag not in _HEAD_CONTENT:
+            self._pop_to(self._head_idx)
+        closes = _CLOSES.get(tag)
+        if not closes:
+            return
+        barriers = _SCOPE.get(tag, frozenset())
+        for i in range(len(self._stack) - 1, -1, -1):
+            t = self._stack[i][0]
+            if t in closes:
+                self._pop_to(i)
+                return
+            if t in barriers:
+                return
+
+    # -- parser callbacks ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        trigger = (
+            tag in _SKIP_TAGS or tag in _CHROME_TAGS or _is_chrome_attrs(attrs)
+        )
+        if tag in _VOID_TAGS:
+            # no subtree: nothing to drop even for a chrome-classed void
+            # element, and it can never be closed — never push, never skip
+            if not self._skip and tag in _BLOCK_TAGS:
+                self._flush()
+            return
+        self._implied_close(tag)
+        if trigger:
+            self._flush()  # harmless while skipping: parts are empty
+            self._push(tag, True)
+            return
+        if not self._skip and tag in _BLOCK_TAGS:
             self._flush()
+        self._push(tag, False)
 
     def handle_startendtag(self, tag: str, attrs) -> None:  # <br/>, <hr/>
-        if self._skip:
-            return
-        if tag in _BLOCK_TAGS:
+        if not self._skip and tag in _BLOCK_TAGS:
             self._flush()
 
     def handle_endtag(self, tag: str) -> None:
-        if self._skip:
-            if tag not in _VOID_TAGS:
-                self._skip -= 1
-            return
-        if tag == "a":
-            self._link = max(0, self._link - 1)
-        if tag in _BLOCK_TAGS:
+        if tag in _VOID_TAGS:
+            return  # </br> and friends: browsers ignore them
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                self._pop_to(i)
+                return
+        # stray end tag (never opened): at most a block boundary
+        if not self._skip and tag in _BLOCK_TAGS:
             self._flush()
 
     def handle_data(self, data: str) -> None:

@@ -196,16 +196,20 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         hb = hot_buckets(banded, config)
         cat = Catalog(spark, args.output)
         cat.write(hb, "hot_buckets")
-        top = hb.limit(20).collect()
-        for r in top:
+        # read the WRITTEN table for the report: collecting from `hb` would
+        # re-run the whole ingest+signature lineage (the signature UDF is
+        # the most expensive per-doc stage) a second time
+        from pyspark.sql import functions as _F
+
+        written = cat.read("hot_buckets")
+        for r in written.orderBy(_F.desc("n_members")).limit(20).collect():
             print(
                 f"# hot bucket band={r['band_idx']} key={r['band_key']} "
                 f"members={r['n_members']}",
                 file=sys.stderr,
             )
-        n_hot = cat.read("hot_buckets").count()
-        print(f"# dedup_job: {n_hot} hot buckets above the all-pairs cap",
-              file=sys.stderr)
+        print(f"# dedup_job: {written.count()} hot buckets above the "
+              "all-pairs cap", file=sys.stderr)
         if owns_session:
             spark.stop()
         return

@@ -173,3 +173,45 @@ def test_fuzz_never_raises_and_deterministic():
         assert isinstance(a, str)
 
     run()
+
+
+def test_implied_close_regressions():
+    """Review-found failure modes of the original depth-counter design —
+    each previously returned '' (total text loss). The stack with implied
+    closes must keep the article text in all three."""
+    # unclosed <li> menu items inside a chrome container
+    assert extract_text(
+        '<ul class="menu"><li>Home<li>About<li>Contact</ul>'
+        "<p>Real article content.</p>"
+    ) == "Real article content."
+    # a VOID element carrying a chrome class has no subtree to drop
+    assert extract_text(
+        '<img class="banner" src="x.png"><p>Real article content.</p>'
+    ) == "Real article content."
+    # an unclosed <a> must not leak link state past its enclosing block
+    assert extract_text(
+        '<p><a href="x">link start<p>a longer real paragraph with plenty '
+        "of words follows here</p><p>short block</p>"
+    ) == (
+        "a longer real paragraph with plenty of words follows here\n"
+        "short block"
+    )
+    # soup that never closes <head>: body content must escape it
+    assert extract_text(
+        "<head><title>T</title><p>body text escaped the head"
+    ) == "body text escaped the head"
+    # implied closes are SCOPED: nested lists close the inner li only
+    assert extract_text(
+        "<ul><li>one<ul><li>inner a<li>inner b</ul><li>two</ul>"
+    ) == "one\ninner a\ninner b\ntwo"
+
+
+def test_depth_cap_linear_on_adversarial_nesting():
+    """Pathological nesting must stay linear (stack capped), not O(n^2)."""
+    import time
+
+    soup = "<x>" * 20000 + "words survive here" + "</x>" * 20000
+    t0 = time.perf_counter()
+    out = extract_text(soup)
+    assert time.perf_counter() - t0 < 5.0
+    assert "words survive here" in out
