@@ -150,6 +150,12 @@ class _Extractor(HTMLParser):
         self._skip = 0
         self._link = 0
         self._head_idx = -1  # stack index of an open <head>, -1 if none
+        # skip triggers arriving while the stack is at _MAX_DEPTH: the
+        # element can't be pushed, but its subtree must STILL be dropped —
+        # per-tag overflow counts let the matching end tag release the skip
+        # (depth-cap degradation affects block segmentation only, never
+        # skip semantics)
+        self._overflow: dict[str, int] = {}
 
     # -- block plumbing -----------------------------------------------------
     def _flush(self) -> None:
@@ -161,7 +167,13 @@ class _Extractor(HTMLParser):
     # -- stack plumbing -----------------------------------------------------
     def _push(self, tag: str, trigger: bool) -> None:
         if len(self._stack) >= _MAX_DEPTH:
-            return  # degrade flat: deeper nesting is treated as unnested
+            # degrade flat: deeper NESTING is treated as unnested — but a
+            # skip trigger still engages (its end tag releases it via the
+            # overflow count), or boilerplate below the cap would leak
+            if trigger:
+                self._overflow[tag] = self._overflow.get(tag, 0) + 1
+                self._skip += 1
+            return
         if tag == "head" and self._head_idx < 0:
             self._head_idx = len(self._stack)
         self._stack.append((tag, trigger))
@@ -194,25 +206,39 @@ class _Extractor(HTMLParser):
         if not closes:
             return
         barriers = _SCOPE.get(tag, frozenset())
-        for i in range(len(self._stack) - 1, -1, -1):
-            t = self._stack[i][0]
-            if t in closes:
-                self._pop_to(i)
-                return
-            if t in barriers:
+        # LOOP until no closeable element remains in scope: a starting <tr>
+        # must close an open <td> AND the <tr> under it (legitimately
+        # layered cells); a single pass would leave one unclosed <tr> on
+        # the stack per omitted </tr> — 512 rows later the depth cap would
+        # engage mid-table (review-found, regression-pinned). Sibling-only
+        # closers (li/p/dd/dt) never layer, so the loop's second iteration
+        # finds nothing and the scope barriers stop any runaway.
+        while True:
+            closed = False
+            for i in range(len(self._stack) - 1, -1, -1):
+                t = self._stack[i][0]
+                if t in closes:
+                    self._pop_to(i)
+                    closed = True
+                    break
+                if t in barriers:
+                    return
+            if not closed:
                 return
 
     # -- parser callbacks ---------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        trigger = (
-            tag in _SKIP_TAGS or tag in _CHROME_TAGS or _is_chrome_attrs(attrs)
-        )
         if tag in _VOID_TAGS:
             # no subtree: nothing to drop even for a chrome-classed void
-            # element, and it can never be closed — never push, never skip
+            # element, and it can never be closed — never push, never
+            # skip (and never pay the attrs scan: voids are the most
+            # frequent tags in crawl HTML)
             if not self._skip and tag in _BLOCK_TAGS:
                 self._flush()
             return
+        trigger = (
+            tag in _SKIP_TAGS or tag in _CHROME_TAGS or _is_chrome_attrs(attrs)
+        )
         self._implied_close(tag)
         if trigger:
             self._flush()  # harmless while skipping: parts are empty
@@ -229,6 +255,11 @@ class _Extractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID_TAGS:
             return  # </br> and friends: browsers ignore them
+        # a trigger held in the depth-cap overflow is the innermost match
+        if self._overflow.get(tag):
+            self._overflow[tag] -= 1
+            self._skip -= 1
+            return
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i][0] == tag:
                 self._pop_to(i)
@@ -238,6 +269,15 @@ class _Extractor(HTMLParser):
             self._flush()
 
     def handle_data(self, data: str) -> None:
+        # bare body text directly inside <head> (no intervening start tag)
+        # is body content per the HTML5 tree rules: close the head first or
+        # the text would vanish with the head's skip subtree
+        if (
+            self._head_idx == len(self._stack) - 1
+            and self._head_idx >= 0
+            and data.strip()
+        ):
+            self._pop_to(self._head_idx)
         if self._skip or not data:
             return
         self._parts.append(data)

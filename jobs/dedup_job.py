@@ -199,10 +199,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         # read the WRITTEN table for the report: collecting from `hb` would
         # re-run the whole ingest+signature lineage (the signature UDF is
         # the most expensive per-doc stage) a second time
-        from pyspark.sql import functions as _F
-
         written = cat.read("hot_buckets")
-        for r in written.orderBy(_F.desc("n_members")).limit(20).collect():
+        for r in written.orderBy(F.desc("n_members")).limit(20).collect():
             print(
                 f"# hot bucket band={r['band_idx']} key={r['band_key']} "
                 f"members={r['n_members']}",

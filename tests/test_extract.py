@@ -215,3 +215,33 @@ def test_depth_cap_linear_on_adversarial_nesting():
     out = extract_text(soup)
     assert time.perf_counter() - t0 < 5.0
     assert "words survive here" in out
+
+
+def test_second_review_regressions():
+    """Second review pass: tr-layering under omitted </tr>, skip triggers
+    at the depth cap, and bare body data after head content."""
+    # 600 rows of '<tr><td>a<td>b' (omitted end tags) must not accumulate
+    # unclosed <tr>s to the depth cap — chrome/script after the table must
+    # still be dropped
+    rows = "".join("<tr><td>a<td>b" for _ in range(600))
+    out = extract_text(
+        "<table>" + rows + '</table><td class="banner">AD CHROME</td>'
+        "<script>var x=9;</script><p>keep me</p>"
+    )
+    assert "AD CHROME" not in out and "var x" not in out
+    assert "keep me" in out
+    # a skip trigger arriving while the stack sits at the cap must still
+    # engage (overflow counter), or boilerplate below depth 512 leaks
+    out2 = extract_text(
+        "<div>" * 512 + "<script>var secret=1;</script><p>real text here</p>"
+    )
+    assert "secret" not in out2 and "real text here" in out2
+    # bare character data directly inside <head> is body content (HTML5
+    # tree rules): it must close the head, not vanish with it
+    assert extract_text(
+        "<head><title>T</title>bare body text with no tags"
+    ) == "bare body text with no tags"
+    # ...but data inside a head <script> stays dropped
+    assert extract_text(
+        '<head><script>var x="hidden"</script></head><p>visible</p>'
+    ) == "visible"
